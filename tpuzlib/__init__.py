@@ -1,0 +1,39 @@
+"""tpuzlib — a TPU-native DEFLATE codec framework.
+
+A brand-new, TPU-first compression framework with the full capabilities of
+stardazed/sd-zlib (reference: /root/reference/src/sd-zlib.ts:39-43 export
+surface): deflate/inflate with raw, zlib and gzip containers, streaming
+chunked ``Deflater``/``Inflater`` APIs, compression levels 1-9, preset
+dictionaries, and incremental adler32/crc32 checksums.
+
+Unlike the reference (a sequential byte-stream codec), tpuzlib is designed
+as an SPMD pipeline: checksums are GF(2)/modular linear algebra on the MXU,
+LZ77 match search + parse are vectorized data-parallel passes, Huffman bit
+packing uses prefix-sum scatter, and inflate is a two-pass parallel decoder
+(tokenize, then data-parallel expansion with pointer-doubling LZ
+resolution).  Independent chunks shard across a ``jax.sharding.Mesh``.
+
+Public API (parity with reference dist/sd-zlib.d.ts):
+    inflate, Inflater, InflaterOptions, InflateResult
+    deflate, Deflater, DeflaterOptions
+    adler32, crc32, mergeBuffers
+"""
+
+from .common import mergeBuffers, u8_view
+from .api.checksums import adler32, crc32
+from .api.inflate_api import Inflater, inflate, InflateResult
+from .api.deflate_api import Deflater, deflate
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "adler32",
+    "crc32",
+    "mergeBuffers",
+    "u8_view",
+    "Inflater",
+    "inflate",
+    "InflateResult",
+    "Deflater",
+    "deflate",
+]
