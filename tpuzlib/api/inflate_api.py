@@ -1,8 +1,146 @@
-"""Placeholder — implemented in the inflate milestone."""
-class Inflater:  # pragma: no cover
-    def __init__(self, *a, **k):
-        raise NotImplementedError
-class InflateResult:  # pragma: no cover
-    pass
-def inflate(*a, **k):  # pragma: no cover
-    raise NotImplementedError
+"""Public decompression API: Inflater / inflate().
+
+Parity with reference src/sd-inflate.ts: Inflater option validation
+(:60-80), chunked append drive loop (:87-153), NEED_DICT handling
+(:116-126), finish() verdict (:159-179), one-shot inflate() with
+container auto-detect (:189-228).
+"""
+
+from __future__ import annotations
+
+import datetime
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ..common import mergeBuffers, u8_view
+from ..codec.tokenize import DataError
+from ..containers.inflate_container import ContainerInflater, NeedDictionary
+
+
+@dataclass
+class InflateResult:
+    """Parity with reference InflateResult (sd-inflate.ts:39-52)."""
+
+    success: bool
+    complete: bool
+    checksum: str  # "match" | "mismatch" | "unchecked"
+    fileSize: str  # "match" | "mismatch" | "unchecked"
+    fileName: str
+    modDate: Optional[datetime.datetime]
+
+
+@dataclass
+class InflaterOptions:
+    """Parity with reference InflaterOptions (sd-inflate.ts:17-37)."""
+
+    raw: bool = False
+    dictionary: object = None
+
+
+class Inflater:
+    def __init__(self, options: InflaterOptions | None = None, **kwargs):
+        if options is None:
+            options = InflaterOptions(**kwargs)
+        elif kwargs:
+            raise TypeError("pass either an options object or keyword options")
+        raw = options.raw
+        if raw is None:
+            raw = False
+        if not isinstance(raw, bool):
+            raise TypeError("options.raw must be undefined or true or false")
+        dictionary = options.dictionary
+        if dictionary is not None:
+            if raw:
+                raise ValueError(
+                    "options.dictionary cannot be set when options.raw is true"
+                )
+            try:
+                dictionary = u8_view(dictionary)
+            except TypeError:
+                raise TypeError(
+                    "options.dictionary must be undefined or a buffer or a buffer view"
+                )
+        self._container = ContainerInflater(raw, dictionary)
+        self._finished = False
+
+    def append(self, data) -> list[np.ndarray]:
+        """Feed a chunk of compressed data; returns decompressed buffers."""
+        if self._finished:
+            raise RuntimeError("Inflater instances cannot be reused")
+        try:
+            view = u8_view(data)
+        except TypeError:
+            raise TypeError("data must be an ArrayBuffer or buffer view")
+        try:
+            out = self._container.push(view)
+        except NeedDictionary as nd:
+            if nd.args[0] == "required":
+                raise ValueError("Custom dictionary required for this data")
+            raise ValueError("Custom dictionary is not valid for this data")
+        except DataError as e:
+            raise ValueError("inflate error: %s" % e)
+        return [out] if len(out) else []
+
+    def finish(self) -> InflateResult:
+        """Verdict logic parity with sd-inflate.ts:159-179."""
+        self._finished = True
+        c = self._container
+        stored_checksum = c.stored_checksum
+        stored_size = c.stored_isize
+        complete = c.is_complete
+        checksum = (
+            "unchecked"
+            if stored_checksum == 0
+            else ("match" if stored_checksum == c.output_checksum else "mismatch")
+        )
+        file_size = (
+            "unchecked"
+            if stored_size == 0
+            else (
+                "match"
+                if stored_size == (c.total_out & 0xFFFFFFFF)
+                else "mismatch"
+            )
+        )
+        success = complete and checksum != "mismatch" and file_size != "mismatch"
+        mod_date = (
+            None
+            if c.mtime == 0
+            else datetime.datetime.fromtimestamp(c.mtime, datetime.timezone.utc)
+        )
+        return InflateResult(
+            success=success,
+            complete=complete,
+            checksum=checksum,
+            fileSize=file_size,
+            fileName=c.file_name,
+            modDate=mod_date,
+        )
+
+
+def inflate(data, dictionary=None) -> np.ndarray:
+    """One-shot decompress with container auto-detection.
+
+    Parity with sd-inflate.ts:189-228 (incl. the detection rule: zlib only
+    when the first byte is exactly 0x78)."""
+    input_ = u8_view(data)
+    if len(input_) < 2:
+        raise ValueError("data buffer is too small")
+    method, flag = int(input_[0]), int(input_[1])
+    starts_with_ident = (
+        method == 0x78 and ((method << 8) + flag) % 31 == 0
+    ) or (method == 0x1F and flag == 0x8B)
+    inflater = Inflater(InflaterOptions(raw=not starts_with_ident, dictionary=dictionary))
+    buffers = inflater.append(input_)
+    result = inflater.finish()
+    if not result.success:
+        if not result.complete:
+            raise ValueError("Unexpected EOF during decompression")
+        if result.checksum == "mismatch":
+            raise ValueError("Data integrity check failed")
+        if result.fileSize == "mismatch":
+            raise ValueError("Data size check failed")
+        raise ValueError("Decompression error")
+    return mergeBuffers(buffers)
