@@ -1,6 +1,129 @@
-"""Placeholder — implemented in the deflate milestone."""
-class Deflater:  # pragma: no cover
-    def __init__(self, *a, **k):
-        raise NotImplementedError
-def deflate(*a, **k):  # pragma: no cover
-    raise NotImplementedError
+"""Public compression API: Deflater / deflate().
+
+Parity with reference src/sd-deflate.ts: option validation (:60-96),
+zlib header writer (:98-115), gzip header writer with FNAME + MTIME
+(:117-152), adler/crc + ISIZE trailer writer (:154-165), chunked append
+(:173-221), finish (:228-253), one-shot deflate() (:263-274).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ..common import mergeBuffers, u8_view
+from ..codec.deflate_engine import DeflateEngine
+from ..containers.headers import (
+    make_gzip_header,
+    make_gzip_trailer,
+    make_zlib_header,
+    make_zlib_trailer,
+)
+from ..kernels.adler32 import adler32_host
+from ..kernels.crc32 import crc32_host
+
+FORMATS = ("raw", "deflate", "gzip")
+
+
+@dataclass
+class DeflaterOptions:
+    """Parity with reference DeflaterOptions (sd-deflate.ts:17-49)."""
+
+    format: str = "deflate"
+    level: int = 6
+    dictionary: object = None
+    fileName: Optional[str] = None
+
+
+class Deflater:
+    def __init__(self, options: DeflaterOptions | None = None, **kwargs):
+        if options is None:
+            options = DeflaterOptions(**kwargs)
+        elif kwargs:
+            raise TypeError("pass either an options object or keyword options")
+        level = options.level
+        if not isinstance(level, int) or isinstance(level, bool) or not (
+            1 <= level <= 9
+        ):
+            raise ValueError("level must be between 1 and 9, inclusive")
+        if options.format not in FORMATS:
+            raise ValueError("container must be one of `raw`, `deflate`, `gzip`")
+        if options.fileName is not None and not isinstance(options.fileName, str):
+            raise TypeError("fileName must be a string")
+        dictionary = options.dictionary
+        if dictionary is not None:
+            if options.format != "deflate":
+                raise TypeError("Can only provide a dictionary for `deflate` containers.")
+            try:
+                dictionary = u8_view(dictionary)
+            except TypeError:
+                raise TypeError("dictionary must be an ArrayBuffer or buffer view")
+        self.format = options.format
+        self.level = level
+        self.file_name = options.fileName
+        self.dictionary = dictionary
+        self.engine = DeflateEngine(level, dictionary)
+        self.checksum = 1 if self.format == "deflate" else 0
+        self.orig_size = 0
+        self._started = False
+        self._finished = False
+
+    def _header(self) -> np.ndarray:
+        if self.format == "deflate":
+            dict_id = (
+                adler32_host(self.dictionary) if self.dictionary is not None else None
+            )
+            return u8_view(make_zlib_header(self.level, dict_id))
+        if self.format == "gzip":
+            return u8_view(make_gzip_header(self.file_name, level=self.level))
+        return np.empty(0, dtype=np.uint8)
+
+    def append(self, data) -> list[np.ndarray]:
+        if self._finished:
+            raise RuntimeError("Deflater instances cannot be reused")
+        try:
+            view = u8_view(data)
+        except TypeError:
+            raise TypeError("data must be an ArrayBuffer or buffer view")
+        buffers = []
+        if not self._started:
+            self._started = True
+            hdr = self._header()
+            if len(hdr):
+                buffers.append(hdr)
+        if self.format == "deflate":
+            self.checksum = adler32_host(view, self.checksum)
+        elif self.format == "gzip":
+            self.checksum = crc32_host(view, self.checksum)
+        self.orig_size += len(view)
+        out = self.engine.push(view)
+        if len(out):
+            buffers.append(out)
+        return buffers
+
+    def finish(self) -> list[np.ndarray]:
+        if self._finished:
+            raise RuntimeError("Deflater instances cannot be reused")
+        if not self._started:
+            raise RuntimeError("Cannot call finish before at least 1 call to append")
+        self._finished = True
+        buffers = [self.engine.finish()]
+        if self.format == "deflate":
+            buffers.append(u8_view(make_zlib_trailer(self.checksum)))
+        elif self.format == "gzip":
+            buffers.append(u8_view(make_gzip_trailer(self.checksum, self.orig_size)))
+        return [b for b in buffers if len(b)]
+
+
+def deflate(data, options: DeflaterOptions | None = None, **kwargs) -> np.ndarray:
+    """One-shot compress (parity with sd-deflate.ts:263-274)."""
+    try:
+        view = u8_view(data)
+    except TypeError:
+        raise TypeError("data must be an ArrayBuffer or buffer view")
+    deflater = Deflater(options, **kwargs)
+    buffers = deflater.append(view)
+    buffers += deflater.finish()
+    return mergeBuffers(buffers)

@@ -68,7 +68,9 @@ def length_to_code(length: np.ndarray) -> np.ndarray:
 def dist_to_code(dist: np.ndarray) -> np.ndarray:
     """Match distance (1..32768) -> distance code (0..29), vectorized."""
     d = np.asarray(dist)
-    return np.where(d <= 256, _DIST_CODE_LUT[d - 1], _DIST_CODE_LUT[256 + ((d - 1) >> 7)])
+    small = _DIST_CODE_LUT[np.minimum(d - 1, 255)]
+    large = _DIST_CODE_LUT[256 + np.minimum((d - 1) >> 7, 255)]
+    return np.where(d <= 256, small, large)
 
 
 def _build_length_code_lut() -> np.ndarray:
