@@ -7,14 +7,14 @@ lacks — SURVEY.md §4).  Must run before any jax import.
 
 import os
 
-# Must be set before the jax backend initializes.  The axon TPU hook in this
-# image force-registers itself via jax.config "jax_platforms=axon,cpu", so we
-# override the config (not just the env var) to keep tests off the real chip.
-os.environ.setdefault("JAX_NUM_CPU_DEVICES", "8")
-
+# Must run before the jax backend initializes.  The axon TPU hook in this
+# image imports jax at interpreter start (so env vars set here are too late)
+# and force-registers itself via jax.config "jax_platforms=axon,cpu" — both
+# knobs must be set through jax.config, which works until first backend use.
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

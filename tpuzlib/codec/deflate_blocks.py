@@ -69,6 +69,41 @@ def _push_tokens(
     sink.push_scalar(int(lcodes[256]), int(ll[256]))  # EOB
 
 
+def _push_tree_header(sink, hlit, hdist, hclen, cl_len, cl_syms, cl_ev, cl_eb):
+    sink.push_scalar(hlit - 257, 5)
+    sink.push_scalar(hdist - 1, 5)
+    sink.push_scalar(hclen - 4, 4)
+    clc_in_order = cl_len[CLC_ORDER[:hclen]]
+    sink.push(clc_in_order.astype(np.uint64), np.full(hclen, 3, dtype=np.int64))
+    cl_codes = he.canonical_codes_lsb(cl_len)
+    v = cl_codes[cl_syms].astype(np.uint64)
+    nb = cl_len[cl_syms].astype(np.int64)
+    v |= cl_ev.astype(np.uint64) << nb.astype(np.uint64)
+    sink.push(v, nb + cl_eb)
+
+
+def build_dynamic_trees(lit_freq: np.ndarray, dist_freq: np.ndarray):
+    """Tree build + header fields from histograms (shared by the host and
+    device-hybrid paths).  Returns (ll, dl, header_pusher) where
+    header_pusher(sink) writes HLIT..code-length stream."""
+    ll = _force_two_codes(he.package_merge(lit_freq, 15))
+    dl = _force_two_codes(he.package_merge(dist_freq, 15))
+    hlit = max(int(np.flatnonzero(ll > 0).max()) + 1, 257)
+    hdist = max(int(np.flatnonzero(dl > 0).max()) + 1, 1)
+    all_lengths = np.concatenate([ll[:hlit], dl[:hdist]])
+    cl_syms, cl_ev, cl_eb = he.codelen_rle(all_lengths)
+    cl_freq = np.bincount(cl_syms, minlength=19)
+    cl_len = _force_two_codes(he.package_merge(cl_freq, 7))
+    order_pos = np.zeros(19, dtype=np.int64)
+    order_pos[CLC_ORDER] = np.arange(19)
+    hclen = max(int(order_pos[np.flatnonzero(cl_len > 0)].max()) + 1, 4)
+
+    def pusher(sink):
+        _push_tree_header(sink, hlit, hdist, hclen, cl_len, cl_syms, cl_ev, cl_eb)
+
+    return ll, dl, pusher
+
+
 def emit_stored(sink: BitSink, raw: np.ndarray, last: bool) -> None:
     """One or more stored blocks covering raw bytes."""
     n = len(raw)
@@ -156,17 +191,7 @@ def emit_block(
         return
 
     sink.push_scalar(2, 2)  # BTYPE=10
-    sink.push_scalar(hlit - 257, 5)
-    sink.push_scalar(hdist - 1, 5)
-    sink.push_scalar(hclen - 4, 4)
-    clc_in_order = cl_len[CLC_ORDER[:hclen]]
-    sink.push(clc_in_order.astype(np.uint64), np.full(hclen, 3, dtype=np.int64))
-    cl_codes = he.canonical_codes_lsb(cl_len)
-    v = cl_codes[cl_syms].astype(np.uint64)
-    nb = cl_len[cl_syms].astype(np.int64)
-    v |= cl_ev.astype(np.uint64) << nb.astype(np.uint64)
-    nb = nb + cl_eb
-    sink.push(v, nb)
+    _push_tree_header(sink, hlit, hdist, hclen, cl_len, cl_syms, cl_ev, cl_eb)
     lcodes = he.canonical_codes_lsb(ll)
     dcodes = he.canonical_codes_lsb(dl)
     _push_tokens(

@@ -1,0 +1,642 @@
+"""Device (TPU) deflate pipeline: one jit-compiled SPMD program per chunk.
+
+The jax.numpy mirror of codec/lz77.py + codec/deflate_blocks.py with
+static shapes throughout:
+
+  data[CTX + N] --hash/sort/screen--> best match per position
+               --local lazy rule----> effective lengths
+               --pointer doubling---> token-start mask (no compaction!)
+               --masked cumsum------> per-token bit offsets
+               --scatter-add--------> packed static-Huffman block words
+
+Everything stays int32/uint32 (no x64 emulation on TPU); bit windows are
+read through per-byte uint32 views.  A static-tree token is at most
+9+5+5+13 = 32 bits, so each token contributes to exactly two packed
+words.  The host assembles chunk blocks into a stream with BitSink and
+adds container framing.
+
+Capability parity: the device analog of reference src/deflate.ts
+longest_match/deflate_slow + src/deftree.ts static trees + bit packer
+(deflate.ts:827-946, :1054-1182, :352-374).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..codec import huffman_encode as he
+from ..codec.lz77 import LEVELS, TOO_FAR
+from ..codec.tables import (
+    DIST_BASE,
+    DIST_EXTRA,
+    FIXED_DIST_LENGTHS,
+    FIXED_LITLEN_LENGTHS,
+    LENGTH_BASE,
+    LENGTH_EXTRA,
+    MAX_MATCH,
+    MIN_MATCH,
+    WINDOW_SIZE,
+    dist_to_code,
+    length_to_code,
+)
+
+CTX = WINDOW_SIZE  # fixed-size history prefix carried between chunks
+
+
+@functools.lru_cache()
+def _static_tables():
+    """Fixed-tree encode tables as numpy constants."""
+    ll = FIXED_LITLEN_LENGTHS.astype(np.int32)
+    lcodes = he.canonical_codes_lsb(ll).astype(np.uint32)
+    dl = FIXED_DIST_LENGTHS[:30].astype(np.int32)
+    dcodes = he.canonical_codes_lsb(FIXED_DIST_LENGTHS)[:30].astype(np.uint32)
+    len2code = length_to_code(np.arange(3, 259)).astype(np.int32)
+    dist2code = dist_to_code(np.arange(1, WINDOW_SIZE + 1)).astype(np.int32)
+    return ll, lcodes, dl, dcodes, len2code, dist2code
+
+
+def _jnp():
+    import jax
+    import jax.numpy as jnp
+
+    return jax, jnp
+
+
+def _build_w32(jnp, data):
+    """Per-byte uint32 little-endian windows (bits 8k..8k+31)."""
+    n = data.shape[0]
+    padded = jnp.concatenate([data, jnp.zeros(8, dtype=jnp.uint8)]).astype(jnp.uint32)
+    w = padded[:n]
+    w = w | (padded[1 : 1 + n] << jnp.uint32(8))
+    w = w | (padded[2 : 2 + n] << jnp.uint32(16))
+    w = w | (padded[3 : 3 + n] << jnp.uint32(24))
+    return w
+
+
+def _hash(jnp, w32lo, w32hi, nbytes, bits):
+    C1 = jnp.uint32(0x9E3779B1)
+    C2 = jnp.uint32(0x85EBCA77)
+    if nbytes <= 4:
+        if nbytes < 4:
+            v = (w32lo & jnp.uint32((1 << (8 * nbytes)) - 1)) * C1
+        else:
+            v = w32lo * C1
+    else:
+        if nbytes < 8:
+            hi = w32hi & jnp.uint32((1 << (8 * (nbytes - 4))) - 1)
+        else:
+            hi = w32hi
+        v = w32lo * C1 + hi * C2
+    return (v * C1) >> jnp.uint32(32 - bits)
+
+
+def _prefix_len8(jnp, lo_a, hi_a, lo_b, hi_b):
+    """Common prefix bytes (0..8) from two (lo,hi) u32 window pairs."""
+    vlo = lo_a ^ lo_b
+    vhi = hi_a ^ hi_b
+    plen = jnp.zeros(lo_a.shape, dtype=jnp.int32)
+    alive = jnp.ones(lo_a.shape, dtype=bool)
+    for j in range(4):
+        alive = alive & (((vlo >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)) == 0)
+        plen = plen + alive
+    for j in range(4):
+        alive = alive & (((vhi >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)) == 0)
+        plen = plen + alive
+    return plen
+
+
+def _candidates(jnp, h, k):
+    """k most recent same-hash predecessors per position (-1 = none).
+
+    One stable sort in place of per-position hash-chain walks."""
+    n = h.shape[0]
+    order = jnp.argsort(h).astype(jnp.int32)  # stable by default
+    sh = h[order]
+    cols = []
+    for j in range(1, k + 1):
+        same = sh[j:] == sh[:-j]
+        src = jnp.where(same, order[:-j], -1)
+        col_sorted = jnp.concatenate([jnp.full(j, -1, jnp.int32), src])
+        cols.append(jnp.zeros(n, jnp.int32).at[order].set(col_sorted))
+    return cols
+
+
+def match_and_parse(jax, jnp, data, ctx_valid, n_valid, level, ctx=CTX):
+    """data: (ctx+N,) uint8; first ctx bytes are history (ctx_valid of
+    them real).  Returns (is_token, litlen, dist) masked tape over the N
+    new byte positions."""
+    params = LEVELS[level]
+    total = data.shape[0]
+    n = total - ctx
+    w32 = _build_w32(jnp, data)
+    w32hi = jnp.concatenate([w32[4:], jnp.zeros(4, dtype=jnp.uint32)])
+
+    pos = jnp.arange(ctx, total, dtype=jnp.int32)
+    end_valid = ctx + n_valid
+    limit = jnp.clip(end_valid - pos, 0, MAX_MATCH)
+
+    best_screen = jnp.zeros(n, dtype=jnp.int32)
+    best_cand = jnp.full(n, -1, dtype=jnp.int32)
+    second_cand = jnp.full(n, -1, dtype=jnp.int32)
+
+    min_cand = ctx - ctx_valid
+    plo, phi = w32[ctx:], w32hi[ctx:]
+
+    for hash_bytes, k in params.probes:
+        bits = 16 if hash_bytes <= 4 else 18
+        h = _hash(jnp, w32, w32hi, hash_bytes, bits)
+        for c_full in _candidates(jnp, h, k):
+            c = c_full[ctx:]
+            ok = (c >= min_cand) & (pos - c <= WINDOW_SIZE) & (c < pos)
+            cc = jnp.where(ok, c, 0)
+            screen = _prefix_len8(jnp, plo, phi, w32[cc], w32hi[cc])
+            screen = jnp.where(ok, jnp.minimum(screen, limit), -1)
+            better = screen > best_screen
+            second_cand = jnp.where(better, best_cand, second_cand)
+            best_cand = jnp.where(better, cc, best_cand)
+            best_screen = jnp.where(better, screen, best_screen)
+
+    def extend(cand):
+        valid = cand >= 0
+        candc = jnp.where(valid, cand, 0)
+
+        def cond(state):
+            _, done, _ = state
+            return jnp.logical_not(jnp.all(done))
+
+        def body(state):
+            off, done, length = state
+            p = jnp.minimum(pos + off, total - 1)
+            c = jnp.minimum(candc + off, total - 1)
+            pl = _prefix_len8(jnp, w32[p], w32hi[p], w32[c], w32hi[c])
+            pl = jnp.clip(pl, 0, limit - off)
+            length = jnp.where(done, length, off + pl)
+            done = done | (pl < 8) | (off + 8 >= limit)
+            return off + 8, done, length
+
+        # init carries with zeros_like(cand) so their sharding variance
+        # matches the loop outputs under shard_map
+        _, _, length = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), ~valid, jnp.zeros_like(cand))
+        )
+        return jnp.where(valid, jnp.minimum(length, limit), 0)
+
+    len1 = extend(best_cand)
+    len2 = extend(second_cand)
+    use2 = len2 > len1
+    cand = jnp.where(use2, second_cand, best_cand)
+    length = jnp.where(use2, len2, len1)
+    dist = jnp.where(cand >= 0, pos - cand, 0)
+
+    length = jnp.where(length >= MIN_MATCH, length, 0)
+    length = jnp.where((length == MIN_MATCH) & (dist > TOO_FAR), 0, length)
+    length = jnp.where(dist > 0, length, 0)
+
+    eff = length
+    if params.lazy:
+        nxt_len = jnp.concatenate([length[1:], jnp.zeros(1, jnp.int32)])
+        defer = (eff >= MIN_MATCH) & (eff < params.max_lazy) & (nxt_len > eff)
+        eff = jnp.where(defer, 0, eff)
+    step = jnp.where(eff >= MIN_MATCH, eff, 1)
+    nxt = jnp.minimum(jnp.arange(n, dtype=jnp.int32) + step, n)
+    nxt = jnp.where(jnp.arange(n) >= n_valid, n, nxt)
+
+    rounds = max(1, int(np.ceil(np.log2(n + 1))))
+    J = jnp.concatenate([nxt, jnp.array([n], jnp.int32)])
+    reach = (J * 0).at[0].set(1)  # zeros with J's sharding variance
+
+    def dbl(_, state):
+        reach, Jk = state
+        return reach.at[Jk].max(reach[: Jk.shape[0]]), Jk[Jk]
+
+    reach, _ = jax.lax.fori_loop(0, rounds, dbl, (reach, J))
+    starts = reach[:n].astype(bool) & (jnp.arange(n) < n_valid)
+    take = starts & (eff >= MIN_MATCH)
+    litlen = jnp.where(take, eff, data[ctx:].astype(jnp.int32))
+    dists = jnp.where(take, dist, 0)
+    return starts, litlen, dists
+
+
+def pack_static_block(jax, jnp, is_token, litlen, dist, last):
+    """Masked token tape -> packed static-Huffman DEFLATE block.
+
+    Returns (words u32, total_bits scalar): 3-bit header (BFINAL=last,
+    BTYPE=01), token codes, EOB."""
+    ll_np, lcodes_np, dl_np, dcodes_np, len2code_np, dist2code_np = _static_tables()
+    ll = jnp.asarray(ll_np)
+    lcodes = jnp.asarray(lcodes_np)
+    dl = jnp.asarray(dl_np)
+    dcodes = jnp.asarray(dcodes_np)
+    len2code = jnp.asarray(len2code_np)
+    dist2code = jnp.asarray(dist2code_np)
+    LB, LE = jnp.asarray(LENGTH_BASE), jnp.asarray(LENGTH_EXTRA)
+    DB, DE = jnp.asarray(DIST_BASE), jnp.asarray(DIST_EXTRA)
+
+    n = litlen.shape[0]
+    is_match = dist > 0
+    lsym = jnp.where(is_match, len2code[jnp.clip(litlen - 3, 0, 255)], litlen)
+    lidx = jnp.clip(lsym - 257, 0, 28)
+    lext_bits = jnp.where(is_match, LE[lidx], 0)
+    lext_val = jnp.where(is_match, litlen - LB[lidx], 0).astype(jnp.uint32)
+    dsym = dist2code[jnp.clip(dist - 1, 0, WINDOW_SIZE - 1)]
+    dext_bits = jnp.where(is_match, DE[dsym], 0)
+    dext_val = jnp.where(is_match, dist - DB[dsym], 0).astype(jnp.uint32)
+
+    # assemble each token's <=32 bits LSB-first
+    a = lcodes[lsym]
+    nb = ll[lsym]
+    a = a | (lext_val << nb.astype(jnp.uint32))
+    nb = nb + lext_bits
+    a = a | (jnp.where(is_match, dcodes[dsym], 0).astype(jnp.uint32) << nb.astype(jnp.uint32))
+    nb = nb + jnp.where(is_match, dl[dsym], 0)
+    a = a | (dext_val << nb.astype(jnp.uint32))
+    nb = nb + jnp.where(is_match, dext_bits, 0)
+
+    nb = jnp.where(is_token, nb, 0)
+    a = jnp.where(is_token, a, jnp.uint32(0))
+
+    offsets = 3 + jnp.cumsum(nb) - nb
+    body_end = 3 + jnp.sum(nb)
+
+    nwords = n + 4
+    words = jnp.zeros(nwords, dtype=jnp.uint32)
+    last_bit = jnp.asarray(last, jnp.uint32) & jnp.uint32(1)
+    words = words.at[0].set(jnp.uint32(2) | last_bit)  # BFINAL | BTYPE=01
+
+    idx = offsets >> 5
+    sh = (offsets & 31).astype(jnp.uint32)
+    w0 = (a << sh).astype(jnp.uint32)
+    w1 = jnp.where(sh > 0, a >> (jnp.uint32(32) - sh), jnp.uint32(0))
+    words = words.at[idx].add(w0)
+    words = words.at[idx + 1].add(w1)
+
+    # EOB (static code for symbol 256 is 7 zero bits; OR-in kept general)
+    eidx = body_end >> 5
+    esh = (body_end & 31).astype(jnp.uint32)
+    ecode = lcodes[256]
+    words = words.at[eidx].add((ecode << esh).astype(jnp.uint32))
+    words = words.at[eidx + 1].add(
+        jnp.where(esh > 0, ecode >> (jnp.uint32(32) - esh), jnp.uint32(0))
+    )
+    total_bits = body_end + ll[256]
+    return words, total_bits
+
+
+def pack_block_tables(jax, jnp, is_token, litlen, dist, tables):
+    """Like pack_static_block but with caller-provided code tables
+    (dynamic Huffman): tokens may reach 15+5+15+13 = 48 bits, carried as
+    a (lo32, hi16) pair contributing to three packed words.
+
+    tables = (ll, lcodes, dl, dcodes) device arrays; the 3-bit block
+    header and the tree-description header bits are NOT included (the
+    host prepends them via BitSink)."""
+    ll, lcodes, dl, dcodes = tables
+    _, _, _, _, len2code_np, dist2code_np = _static_tables()
+    len2code = jnp.asarray(len2code_np)
+    dist2code = jnp.asarray(dist2code_np)
+    LB, LE = jnp.asarray(LENGTH_BASE), jnp.asarray(LENGTH_EXTRA)
+    DB, DE = jnp.asarray(DIST_BASE), jnp.asarray(DIST_EXTRA)
+
+    n = litlen.shape[0]
+    is_match = dist > 0
+    lsym = jnp.where(is_match, len2code[jnp.clip(litlen - 3, 0, 255)], litlen)
+    lidx = jnp.clip(lsym - 257, 0, 28)
+    lext_bits = jnp.where(is_match, LE[lidx], 0)
+    lext_val = jnp.where(is_match, litlen - LB[lidx], 0).astype(jnp.uint32)
+    dsym = dist2code[jnp.clip(dist - 1, 0, WINDOW_SIZE - 1)]
+    dext_bits = jnp.where(is_match, DE[dsym], 0)
+    dext_val = jnp.where(is_match, dist - DB[dsym], 0).astype(jnp.uint32)
+
+    # field start offsets: 0, <=15, <=20, <=35 — the last field can start
+    # past bit 31, so emit2 must handle sh in [0, 35].
+    def emit2(lo, hi, nb, val, bits):
+        val = val.astype(jnp.uint32)
+        sh = nb
+        shc = jnp.clip(sh, 0, 31).astype(jnp.uint32)
+        in_lo = (jnp.where(sh < 32, val, 0) << shc).astype(jnp.uint32)
+        spill = jnp.where(
+            (sh > 0) & (sh < 32), val >> (jnp.uint32(32) - shc), 0
+        )
+        in_hi = jnp.where(sh >= 32, val << jnp.clip(sh - 32, 0, 31).astype(jnp.uint32), spill)
+        return lo | in_lo, (hi | in_hi).astype(jnp.uint32), nb + bits
+
+    lo = lcodes[lsym].astype(jnp.uint32)
+    hi = jnp.zeros(n, dtype=jnp.uint32)
+    nb = ll[lsym]
+    lo, hi, nb = emit2(lo, hi, nb, lext_val, lext_bits)
+    lo, hi, nb = emit2(lo, hi, nb, jnp.where(is_match, dcodes[dsym], 0), jnp.where(is_match, dl[dsym], 0))
+    lo, hi, nb = emit2(lo, hi, nb, dext_val, jnp.where(is_match, dext_bits, 0))
+
+    nb = jnp.where(is_token, nb, 0)
+    lo = jnp.where(is_token, lo, jnp.uint32(0))
+    hi = jnp.where(is_token, hi, jnp.uint32(0))
+
+    offsets = jnp.cumsum(nb) - nb
+    body_end = jnp.sum(nb)
+
+    nwords = -(-(n * 48) // 32) + 4
+    words = jnp.zeros(nwords, dtype=jnp.uint32)
+    idx = offsets >> 5
+    sh = (offsets & 31).astype(jnp.uint32)
+    w0 = (lo << sh).astype(jnp.uint32)
+    w1 = (jnp.where(sh > 0, lo >> (jnp.uint32(32) - sh), 0) | (hi << sh)).astype(
+        jnp.uint32
+    )
+    w2 = jnp.where(sh > 0, hi >> (jnp.uint32(32) - sh), jnp.uint32(0))
+    words = words.at[idx].add(w0)
+    words = words.at[idx + 1].add(w1)
+    words = words.at[idx + 2].add(w2)
+
+    # EOB
+    eidx = body_end >> 5
+    esh = (body_end & 31).astype(jnp.uint32)
+    ecode = lcodes[256]
+    words = words.at[eidx].add((ecode << esh).astype(jnp.uint32))
+    words = words.at[eidx + 1].add(
+        jnp.where(esh > 0, ecode >> (jnp.uint32(32) - esh), jnp.uint32(0))
+    )
+    total_bits = body_end + ll[256]
+    return words, total_bits
+
+
+def make_encode_chunk(level: int, n: int):
+    """Build the jitted chunk encoder for fixed new-bytes size n.
+
+    encode(data[CTX+n] u8, ctx_valid i32, n_valid i32, last i32)
+      -> (words u32[n+4], total_bits i32)
+    """
+    jax, jnp = _jnp()
+
+    @jax.jit
+    def encode(data, ctx_valid, n_valid, last):
+        is_token, litlen, dist = match_and_parse(
+            jax, jnp, data, ctx_valid, n_valid, level
+        )
+        return pack_static_block(jax, jnp, is_token, litlen, dist, last)
+
+    return encode
+
+
+def make_tokenize_chunk(level: int, n: int):
+    """Jitted: data -> (is_token, litlen, dist, lit_freq, dist_freq)."""
+    jax, jnp = _jnp()
+    _, _, _, _, len2code_np, dist2code_np = _static_tables()
+
+    @jax.jit
+    def tok(data, ctx_valid, n_valid):
+        is_token, litlen, dist = match_and_parse(
+            jax, jnp, data, ctx_valid, n_valid, level
+        )
+        len2code = jnp.asarray(len2code_np)
+        dist2code = jnp.asarray(dist2code_np)
+        is_match = dist > 0
+        lsym = jnp.where(is_match, len2code[jnp.clip(litlen - 3, 0, 255)], litlen)
+        dsym = dist2code[jnp.clip(dist - 1, 0, WINDOW_SIZE - 1)]
+        w = is_token.astype(jnp.int32)
+        lit_freq = jnp.zeros(286, jnp.int32).at[jnp.clip(lsym, 0, 285)].add(w)
+        dist_freq = jnp.zeros(30, jnp.int32).at[dsym].add(
+            (is_token & is_match).astype(jnp.int32)
+        )
+        return is_token, litlen, dist, lit_freq, dist_freq
+
+    return tok
+
+
+def make_pack_chunk(n: int):
+    """Jitted: masked tape + code tables -> packed body words."""
+    jax, jnp = _jnp()
+
+    @jax.jit
+    def pack(is_token, litlen, dist, ll, lcodes, dl, dcodes):
+        return pack_block_tables(
+            jax, jnp, is_token, litlen, dist, (ll, lcodes, dl, dcodes)
+        )
+
+    return pack
+
+
+def make_tokenize_batch(level: int, chunk: int, batch: int):
+    """Jitted batched tokenizer: one dispatch covers `batch` chunks.
+
+    tok(bufs u8[B, CTX+chunk], ctx_valids i32[B], n_valids i32[B])
+      -> per-chunk masked tapes + histograms (single device round-trip).
+    """
+    jax, jnp = _jnp()
+    _, _, _, _, len2code_np, dist2code_np = _static_tables()
+
+    def one(buf, ctx_valid, n_valid):
+        is_token, litlen, dist = match_and_parse(
+            jax, jnp, buf, ctx_valid, n_valid, level
+        )
+        len2code = jnp.asarray(len2code_np)
+        dist2code = jnp.asarray(dist2code_np)
+        is_match = dist > 0
+        lsym = jnp.where(is_match, len2code[jnp.clip(litlen - 3, 0, 255)], litlen)
+        dsym = dist2code[jnp.clip(dist - 1, 0, WINDOW_SIZE - 1)]
+        w = is_token.astype(jnp.int32)
+        lit_freq = jnp.zeros(286, jnp.int32).at[jnp.clip(lsym, 0, 285)].add(w)
+        dist_freq = jnp.zeros(30, jnp.int32).at[dsym].add(
+            (is_token & is_match).astype(jnp.int32)
+        )
+        return is_token, litlen, dist, lit_freq, dist_freq
+
+    return jax.jit(jax.vmap(one))
+
+
+def make_pack_batch(chunk: int, batch: int, out_words: int):
+    """Jitted batched dynamic-table packer; output trimmed to out_words
+    per chunk so the device->host pull stays near the compressed size."""
+    jax, jnp = _jnp()
+
+    def one(is_token, litlen, dist, ll, lcodes, dl, dcodes):
+        words, total_bits = pack_block_tables(
+            jax, jnp, is_token, litlen, dist, (ll, lcodes, dl, dcodes)
+        )
+        return words[:out_words], total_bits
+
+    return jax.jit(jax.vmap(one))
+
+
+def deflate_device_batched(
+    data: np.ndarray,
+    level: int = 6,
+    chunk: int = 1 << 18,
+    batch: int = 16,
+):
+    """Throughput-oriented dynamic-tree device deflate.
+
+    Processes `batch` chunks per device dispatch: one input upload, one
+    histogram pull, one table upload, one trimmed-words pull per group.
+    Returns raw DEFLATE bytes."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..codec.bitsink import BitSink
+    from ..codec.deflate_blocks import build_dynamic_trees
+    from ..codec import huffman_encode as he_
+
+    n = len(data)
+    nchunks = max(1, -(-n // chunk))
+    tok = _get(("tokb", level, chunk, batch), lambda: make_tokenize_batch(level, chunk, batch))
+    # worst-case bits/chunk ~ 9.2 bits/byte for literal-only blocks
+    out_words = min(chunk + 4, (chunk * 10) // 32 + 8)
+    pack = _get(("packb", chunk, batch, out_words), lambda: make_pack_batch(chunk, batch, out_words))
+
+    sink = BitSink()
+    groups = [
+        list(range(g, min(g + batch, nchunks))) for g in range(0, nchunks, batch)
+    ]
+    for group in groups:
+        bufs = np.zeros((batch, CTX + chunk), dtype=np.uint8)
+        ctx_valids = np.zeros(batch, dtype=np.int32)
+        n_valids = np.zeros(batch, dtype=np.int32)
+        for bi, ci in enumerate(group):
+            lo, hi = ci * chunk, min(ci * chunk + chunk, n)
+            ctx_lo = max(0, lo - CTX)
+            ctx = data[ctx_lo:lo]
+            if len(ctx):
+                bufs[bi, CTX - len(ctx) : CTX] = ctx
+            bufs[bi, CTX : CTX + hi - lo] = data[lo:hi]
+            ctx_valids[bi] = len(ctx)
+            n_valids[bi] = hi - lo
+        is_token, litlen, dist, lit_freq, dist_freq = tok(
+            jnp.asarray(bufs), jnp.asarray(ctx_valids), jnp.asarray(n_valids)
+        )
+        lf = np.asarray(lit_freq).astype(np.int64)
+        df = np.asarray(dist_freq).astype(np.int64)
+        lls = np.zeros((batch, 288), np.int32)
+        lcs = np.zeros((batch, 288), np.uint32)
+        dls = np.zeros((batch, 30), np.int32)
+        dcs = np.zeros((batch, 30), np.uint32)
+        pushers = []
+        for bi, ci in enumerate(group):
+            lfb = lf[bi].copy()
+            lfb[256] += 1
+            ll, dl, push_header = build_dynamic_trees(lfb, df[bi])
+            lls[bi, : len(ll)] = ll
+            lcs[bi, : len(ll)] = he_.canonical_codes_lsb(ll)
+            dls[bi, : len(dl)] = dl
+            dcs[bi, : len(dl)] = he_.canonical_codes_lsb(dl)
+            pushers.append(push_header)
+        words, total_bits = pack(
+            is_token, litlen, dist,
+            jnp.asarray(lls), jnp.asarray(lcs), jnp.asarray(dls), jnp.asarray(dcs),
+        )
+        words = np.asarray(words)
+        total_bits = np.asarray(total_bits)
+        for bi, ci in enumerate(group):
+            sink.push_scalar(1 if ci == nchunks - 1 else 0, 1)
+            sink.push_scalar(2, 2)
+            pushers[bi](sink)
+            _push_words(sink, words[bi], int(total_bits[bi]))
+    out, _, _ = sink.flush(final=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# host orchestration
+# ---------------------------------------------------------------------------
+
+_encoder_cache = {}
+
+
+def _get(cache_key, builder):
+    if cache_key not in _encoder_cache:
+        _encoder_cache[cache_key] = builder()
+    return _encoder_cache[cache_key]
+
+
+def _push_words(sink, words, total_bits):
+    words = np.asarray(words)
+    total_bits = int(total_bits)
+    nfull = total_bits >> 5
+    if nfull:
+        sink.push(words[:nfull].astype(np.uint64), np.full(nfull, 32, dtype=np.int64))
+    rem = total_bits & 31
+    if rem:
+        sink.push_scalar(int(words[nfull]) & ((1 << rem) - 1), rem)
+
+
+def _chunk_buffers(data, chunk):
+    n = len(data)
+    nchunks = max(1, -(-n // chunk))
+    for ci in range(nchunks):
+        lo = ci * chunk
+        hi = min(lo + chunk, n)
+        ctx_lo = max(0, lo - CTX)
+        ctx = data[ctx_lo:lo]
+        buf = np.zeros(CTX + chunk, dtype=np.uint8)
+        if len(ctx):
+            buf[CTX - len(ctx) : CTX] = ctx
+        buf[CTX : CTX + hi - lo] = data[lo:hi]
+        yield ci, ci == nchunks - 1, buf, len(ctx), hi - lo
+
+
+def deflate_device_raw(
+    data: np.ndarray, level: int = 6, chunk: int = 1 << 18, dynamic: bool = True
+):
+    """Compress to raw DEFLATE with the device pipeline.
+
+    dynamic=True: device tokenizes + histograms, host builds optimal
+    trees (tiny), device packs with those tables — one dynamic block per
+    chunk.  dynamic=False: fully-jitted static-tree encode (zero host
+    sync inside a chunk).  The match window flows across chunks via the
+    CTX halo.  Returns raw DEFLATE bytes."""
+    import jax.numpy as jnp
+
+    from ..codec.bitsink import BitSink
+    from ..codec.deflate_blocks import build_dynamic_trees
+    from ..codec import huffman_encode as he_
+
+    sink = BitSink()
+    if not dynamic:
+        encode = _get(("static", level, chunk), lambda: make_encode_chunk(level, chunk))
+        # dispatch everything asynchronously, pull at the end (hides the
+        # host<->device round-trip latency behind device compute)
+        results = []
+        for ci, is_last, buf, ctx_valid, n_valid in _chunk_buffers(data, chunk):
+            results.append(
+                encode(
+                    jnp.asarray(buf), np.int32(ctx_valid), np.int32(n_valid),
+                    np.int32(1 if is_last else 0),
+                )
+            )
+        for words, total_bits in results:
+            _push_words(sink, words, total_bits)
+        out, _, _ = sink.flush(final=True)
+        return out
+
+    tok = _get(("tok", level, chunk), lambda: make_tokenize_chunk(level, chunk))
+    pack = _get(("pack", chunk), lambda: make_pack_chunk(chunk))
+
+    # phase 1: async-dispatch all tokenize calls
+    toks = []
+    flags = []
+    for ci, is_last, buf, ctx_valid, n_valid in _chunk_buffers(data, chunk):
+        toks.append(tok(jnp.asarray(buf), np.int32(ctx_valid), np.int32(n_valid)))
+        flags.append(is_last)
+    # phase 2+3: pull histograms, build trees (host), dispatch packs
+    packed = []
+    for (is_token, litlen, dist, lit_freq, dist_freq), is_last in zip(toks, flags):
+        lf = np.asarray(lit_freq).astype(np.int64)
+        lf[256] += 1  # EOB
+        df = np.asarray(dist_freq).astype(np.int64)
+        ll, dl, push_header = build_dynamic_trees(lf, df)
+        lcodes = he_.canonical_codes_lsb(ll).astype(np.uint32)
+        dcodes = he_.canonical_codes_lsb(dl).astype(np.uint32)
+        wt = pack(
+            is_token, litlen, dist,
+            jnp.asarray(ll.astype(np.int32)), jnp.asarray(lcodes),
+            jnp.asarray(dl.astype(np.int32)), jnp.asarray(dcodes),
+        )
+        packed.append((wt, push_header, is_last))
+    # phase 4: assemble in order
+    for (words, total_bits), push_header, is_last in packed:
+        sink.push_scalar(1 if is_last else 0, 1)
+        sink.push_scalar(2, 2)  # BTYPE=10
+        push_header(sink)
+        _push_words(sink, words, total_bits)
+    out, _, _ = sink.flush(final=True)
+    return out
