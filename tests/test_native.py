@@ -1,0 +1,107 @@
+"""Native (C++) component tests: parity with the vectorized reference
+paths, truncation semantics, and threading."""
+
+import zlib
+
+import numpy as np
+import pytest
+
+from tpuzlib.native.bindings import native_available
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native library unavailable"
+)
+
+
+def test_native_inflate_matches_zlib(rng, paradiselost):
+    from tpuzlib.native import api
+
+    wire = np.frombuffer(zlib.compress(paradiselost, 6)[2:-4], np.uint8)
+    out, consumed, status = api.inflate_raw(wire)
+    assert status == api.STATUS_OK
+    assert bytes(out) == paradiselost
+
+
+def test_native_inflate_truncation_block_granular(paradiselost):
+    """Truncated input: returns complete blocks + consumed at the last
+    block boundary so the engine can resume."""
+    from tpuzlib.native import api
+
+    wire = np.frombuffer(zlib.compress(paradiselost, 6)[2:-4], np.uint8)
+    half = wire[: len(wire) // 2]
+    out, consumed, status = api.inflate_raw(half)
+    assert status == api.STATUS_NEED_MORE
+    assert consumed <= len(half) * 8
+    assert consumed % 1 == 0
+    assert bytes(out) == paradiselost[: len(out)]
+    # resume: decode rest from the reported bit position with window ctx
+    out2, consumed2, status2 = api.inflate_raw(
+        wire, start_bit=int(consumed), dictionary=out[-32768:]
+    )
+    assert status2 == api.STATUS_OK
+    assert bytes(out) + bytes(out2) == paradiselost
+
+
+def test_native_tokenize_expands_correctly(rng, paradiselost):
+    from tpuzlib.codec.expand import expand_host
+    from tpuzlib.native import api
+
+    data = np.frombuffer(paradiselost, np.uint8)
+    for level in (1, 6, 9):
+        ll, dd = api.tokenize(data, 0, level)
+        assert bytes(expand_host(ll, dd, np.empty(0, np.uint8))) == paradiselost
+
+
+def test_native_tokenize_with_context(paradiselost):
+    """Matches must reach into the context prefix (halo semantics)."""
+    from tpuzlib.codec.expand import expand_host
+    from tpuzlib.native import api
+
+    data = np.frombuffer(paradiselost[:80000], np.uint8)
+    ctx_len = 32768
+    ll, dd = api.tokenize(data, ctx_len, 6)
+    out = expand_host(ll, dd, data[:ctx_len])
+    assert bytes(out) == paradiselost[ctx_len:80000]
+    assert int(dd.max()) > 0
+
+
+def test_forced_numpy_path_equivalence(paradiselost, monkeypatch):
+    """With native disabled the public API must behave identically."""
+    import tpuzlib
+    from tpuzlib.native import bindings
+
+    wire_native = bytes(tpuzlib.deflate(paradiselost[:100000], level=6))
+    monkeypatch.setattr(bindings, "_lib", None)
+    monkeypatch.setattr(bindings, "_tried", True)
+    wire_numpy = bytes(tpuzlib.deflate(paradiselost[:100000], level=6))
+    assert zlib.decompress(wire_native) == paradiselost[:100000]
+    assert zlib.decompress(wire_numpy) == paradiselost[:100000]
+    out = tpuzlib.inflate(wire_native)
+    assert bytes(out) == paradiselost[:100000]
+
+
+def test_parallel_one_shot_large(rng):
+    import tpuzlib
+
+    base = rng.integers(0, 256, 1 << 20, dtype=np.uint8).tobytes()
+    text = (b"some repeated phrases keep appearing here " * 40000)[: 1 << 20]
+    data = base + text + base[: 1 << 19] + text[: 1 << 19]
+    wire = tpuzlib.deflate(data, level=6)
+    assert zlib.decompress(bytes(wire)) == data
+    assert len(wire) <= len(zlib.compress(data, 6))
+    assert bytes(tpuzlib.inflate(wire)) == data
+
+
+def test_parallel_mixed_content_stored_alignment(rng):
+    """Regression: stored blocks inside parallel chunks must stay
+    byte-aligned in the JOINED stream (sync-flush chunk boundaries), and
+    adaptive block splitting must keep mixed text|random corpora at or
+    below zlib's size."""
+    import tpuzlib
+
+    txt = open("/root/reference/test/paradiselost.txt", "rb").read()
+    data = (txt + rng.integers(0, 256, 1 << 20, dtype=np.uint8).tobytes()) * 4
+    wire = tpuzlib.deflate(data, level=6)
+    assert zlib.decompress(bytes(wire)) == data
+    assert len(wire) <= len(zlib.compress(data, 6))
+    assert bytes(tpuzlib.inflate(wire)) == data

@@ -39,6 +39,15 @@ class BitSink:
         self._vals.append(values.astype(np.uint64))
         self._nbits.append(nbits.astype(np.int64))
 
+    def push_bytes(self, byte_arr: np.ndarray) -> None:
+        """Append a whole byte buffer (packed 4 bytes per value)."""
+        n4 = (len(byte_arr) // 4) * 4
+        if n4:
+            words = byte_arr[:n4].view("<u4").astype(np.uint64)
+            self.push(words, np.full(len(words), 32, np.int64))
+        for b in byte_arr[n4:]:
+            self.push_scalar(int(b), 8)
+
     def align_byte(self) -> None:
         total = int(sum(int(a.sum()) for a in self._nbits))
         pad = (-total) % 8

@@ -34,10 +34,14 @@ def _force_two_codes(lengths: np.ndarray) -> np.ndarray:
     return lengths
 
 
-def _body_cost(lsym, lext_bits, dsym, dext_bits, is_match, ll, dl) -> int:
-    bits = int(ll[lsym].sum()) + int(lext_bits.sum()) + int(ll[256])
-    if is_match.any():
-        bits += int(dl[dsym[is_match]].sum()) + int(dext_bits.sum())
+def _body_cost(lit_freq, dist_freq, ll, dl) -> int:
+    """Histogram-based block body cost (incl. EOB and extra bits)."""
+    from .tables import DIST_EXTRA, LENGTH_EXTRA
+
+    bits = int((lit_freq * ll[:286]).sum())
+    bits += int((lit_freq[257:286] * LENGTH_EXTRA).sum())
+    bits += int((dist_freq * dl[:30]).sum())
+    bits += int((dist_freq * DIST_EXTRA).sum())
     return bits
 
 
@@ -126,6 +130,78 @@ def emit_stored(sink: BitSink, raw: np.ndarray, last: bool) -> None:
             break
 
 
+def _segment_cost(lit_freq: np.ndarray, dist_freq: np.ndarray, nraw: int) -> int:
+    """Estimated best-format bit cost of a token segment (header incl.)."""
+    ll = _force_two_codes(he.package_merge(lit_freq, 15))
+    dl = _force_two_codes(he.package_merge(dist_freq, 15))
+    hlit = max(int(np.flatnonzero(ll > 0).max()) + 1, 257)
+    hdist = max(int(np.flatnonzero(dl > 0).max()) + 1, 1)
+    cl_syms, _, cl_eb = he.codelen_rle(np.concatenate([ll[:hlit], dl[:hdist]]))
+    cl_freq = np.bincount(cl_syms, minlength=19)
+    cl_len = _force_two_codes(he.package_merge(cl_freq, 7))
+    dyn = (
+        3 + 14 + 3 * 19 + int(cl_len[cl_syms].sum()) + int(cl_eb.sum())
+        + _body_cost(lit_freq, dist_freq, ll, dl)
+    )
+    static = 3 + _body_cost(
+        lit_freq, dist_freq, FIXED_LITLEN_LENGTHS, FIXED_DIST_LENGTHS[:30]
+    )
+    stored = 40 + 8 * nraw + 35 * max(0, (nraw - 1) // MAX_STORED)
+    return min(dyn, static, stored)
+
+
+def emit_block_adaptive(
+    sink: BitSink,
+    litlen: np.ndarray,
+    dist: np.ndarray,
+    raw: np.ndarray,
+    last: bool,
+    min_symbols: int = 4096,
+) -> None:
+    """Emit tokens as one block or recursively split where mixing content
+    families (e.g. text|random transitions) makes two trees cheaper.
+
+    Refines the reference's fixed 16K-symbol flush policy (_tr_tally,
+    deflate.ts:488-524) with an explicit cost comparison."""
+    n = len(litlen)
+    if n <= 2 * min_symbols:
+        emit_block(sink, litlen, dist, raw, last)
+        return
+    is_match = dist > 0
+    lsym = np.where(is_match, he.length_to_code(np.maximum(litlen, 3)), litlen)
+    dsym = np.where(is_match, he.dist_to_code(np.maximum(dist, 1)), 0)
+
+    def freqs(lo, hi):
+        lf = np.bincount(lsym[lo:hi], minlength=286)[:286].astype(np.int64)
+        lf[256] += 1
+        seg_m = is_match[lo:hi]
+        df = (
+            np.bincount(dsym[lo:hi][seg_m], minlength=30)[:30].astype(np.int64)
+            if seg_m.any()
+            else np.zeros(30, np.int64)
+        )
+        return lf, df
+
+    out_lens = np.where(is_match, litlen, 1).astype(np.int64)
+    ends = np.cumsum(out_lens)
+    mid = n // 2
+    lf_w, df_w = freqs(0, n)
+    cost_whole = _segment_cost(lf_w, df_w, len(raw))
+    lf_a, df_a = freqs(0, mid)
+    lf_b, df_b = freqs(mid, n)
+    raw_mid = int(ends[mid - 1])
+    cost_split = _segment_cost(lf_a, df_a, raw_mid) + _segment_cost(
+        lf_b, df_b, len(raw) - raw_mid
+    )
+    if cost_split < cost_whole:
+        emit_block_adaptive(sink, litlen[:mid], dist[:mid], raw[:raw_mid], False,
+                            min_symbols)
+        emit_block_adaptive(sink, litlen[mid:], dist[mid:], raw[raw_mid:], last,
+                            min_symbols)
+    else:
+        emit_block(sink, litlen, dist, raw, last)
+
+
 def emit_block(
     sink: BitSink,
     litlen: np.ndarray,
@@ -159,12 +235,12 @@ def emit_block(
     dyn_header = (
         5 + 5 + 4 + 3 * hclen + int(cl_len[cl_syms].sum()) + int(cl_eb.sum())
     )
-    dyn_cost = dyn_header + _body_cost(lsym, lext_bits, dsym, dext_bits, is_match, ll, dl)
+    dyn_cost = dyn_header + _body_cost(lit_freq, dist_freq, ll, dl)
 
     # --- static cost ---
     sl = FIXED_LITLEN_LENGTHS
-    sd = np.concatenate([FIXED_DIST_LENGTHS[:30]])
-    static_cost = _body_cost(lsym, lext_bits, dsym, dext_bits, is_match, sl, sd)
+    sd = FIXED_DIST_LENGTHS[:30]
+    static_cost = _body_cost(lit_freq, dist_freq, sl, sd)
 
     # --- total costs incl. the 3-bit block header ---
     align_pad = (-(sink.total_bits + 3)) % 8

@@ -13,11 +13,14 @@ from __future__ import annotations
 import numpy as np
 
 from .bitsink import BitSink
-from .deflate_blocks import emit_block
+from .deflate_blocks import emit_block, emit_block_adaptive, emit_stored
 from .lz77 import tokenize_chunk
 from .tables import WINDOW_SIZE
 
-BLOCK_SYMBOLS = 1 << 14  # symbols per Huffman block, like zlib lit_bufsize
+# Symbols per Huffman block.  The reference flushes every 16K symbols
+# (lit_bufsize, deflate.ts:90-95); with optimal package-merge trees,
+# larger blocks amortize the header better AND compress smaller.
+BLOCK_SYMBOLS = 1 << 16
 CHUNK = 1 << 19  # input bytes compressed per vectorized pass
 HOLDBACK = 320  # bytes withheld during streaming so matches never lose
 #                 lookahead at a chunk boundary (MAX_MATCH + hash margin)
@@ -45,6 +48,13 @@ class DeflateEngine:
                 if len(self.pending)
                 else data.copy()
             )
+        if len(self.pending) < CHUNK + HOLDBACK:
+            return np.empty(0, dtype=np.uint8)
+        n_process = ((len(self.pending) - HOLDBACK) // CHUNK) * CHUNK
+        if n_process >= 2 * CHUNK:
+            out = self._compress_parallel(self.pending[:n_process], last=False)
+            self.pending = self.pending[n_process:]
+            return out
         outs = []
         while len(self.pending) >= CHUNK + HOLDBACK:
             outs.append(self._compress(self.pending[:CHUNK], last=False))
@@ -54,6 +64,11 @@ class DeflateEngine:
         )
 
     def finish(self) -> np.ndarray:
+        if len(self.pending) > 2 * CHUNK:
+            out = self._compress_parallel(self.pending, last=True)
+            self.pending = np.empty(0, dtype=np.uint8)
+            self.finished = True
+            return out
         outs = []
         while len(self.pending) > CHUNK:
             outs.append(self._compress(self.pending[:CHUNK], last=False))
@@ -62,6 +77,101 @@ class DeflateEngine:
         self.pending = np.empty(0, dtype=np.uint8)
         self.finished = True
         return np.concatenate(outs)
+
+    def _compress_parallel(self, data: np.ndarray, last: bool) -> np.ndarray:
+        """Thread-parallel chunk compression (one-shot / large appends).
+
+        The native tokenizer releases the GIL, so chunks tokenize on all
+        cores with their 32 KiB halo context; token tapes are then
+        Huffman-coded per chunk into separate BitSinks and joined at the
+        bit level in stream order — the host mirror of the mesh pipeline
+        in parallel/pipeline.py."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .bitsink import BitSink
+        from .lz77 import tokenize_chunk
+        from .tables import WINDOW_SIZE as W
+
+        nchunks = -(-len(data) // CHUNK)
+        spans = [
+            (ci * CHUNK, min((ci + 1) * CHUNK, len(data))) for ci in range(nchunks)
+        ]
+
+        def tokenize_span(span):
+            lo, hi = span
+            if lo == 0:
+                ctx = self.window
+            else:
+                ctx = data[max(0, lo - W) : lo]
+            buf = (
+                np.concatenate([ctx, data[lo:hi]]) if len(ctx) else data[lo:hi]
+            )
+            return tokenize_chunk(buf, len(ctx), self.level)
+
+        def emit_span(args):
+            """Emit one chunk's blocks into its own byte-aligned bitstream.
+
+            Every non-final chunk ends with an empty stored block (the
+            Z_SYNC_FLUSH pattern) so the next chunk starts on a byte
+            boundary: stored-block alignment inside any chunk is then
+            globally correct, and chunk boundaries become byte-aligned
+            resume points for parallel inflate."""
+            (lo, hi), (litlen, dist), is_last = args
+            sink = BitSink()
+            if len(litlen) == 0:
+                if is_last:
+                    emit_block(
+                        sink,
+                        np.empty(0, np.int32),
+                        np.empty(0, np.int32),
+                        np.empty(0, np.uint8),
+                        True,
+                    )
+            else:
+                out_lens = np.where(dist > 0, litlen, 1).astype(np.int64)
+                ends = np.cumsum(out_lens)
+                nb = -(-len(litlen) // BLOCK_SYMBOLS)
+                for b in range(nb):
+                    blo = b * BLOCK_SYMBOLS
+                    bhi = min(blo + BLOCK_SYMBOLS, len(litlen))
+                    raw_lo = 0 if blo == 0 else int(ends[blo - 1])
+                    raw_hi = int(ends[bhi - 1])
+                    emit_block_adaptive(
+                        sink,
+                        litlen[blo:bhi],
+                        dist[blo:bhi],
+                        data[lo + raw_lo : lo + raw_hi],
+                        is_last and bhi == len(litlen),
+                    )
+            if not is_last:
+                emit_stored(sink, np.empty(0, np.uint8), False)  # sync flush
+            return sink.flush(final=is_last)
+
+        with ThreadPoolExecutor(max_workers=min(8, nchunks)) as ex:
+            tapes = list(ex.map(tokenize_span, spans))
+            jobs = [
+                (spans[i], tapes[i], last and i == nchunks - 1)
+                for i in range(nchunks)
+            ]
+            flushed = list(ex.map(emit_span, jobs))
+
+        # join chunk bitstreams in order through the engine's sink
+        outs = []
+        for body, rem_val, rem_bits in flushed:
+            if len(body):
+                self.sink.push_bytes(body)
+            if rem_bits:
+                self.sink.push_scalar(rem_val, rem_bits)
+            piece, _, _ = self.sink.flush(final=False)
+            if len(piece):
+                outs.append(piece)
+        final_piece, _, _ = self.sink.flush(final=last)
+        if len(final_piece):
+            outs.append(final_piece)
+        self.window = data[-WINDOW_SIZE:].copy() if len(data) else self.window
+        return (
+            np.concatenate(outs) if outs else np.empty(0, dtype=np.uint8)
+        )
 
     def _compress(self, chunk: np.ndarray, last: bool) -> np.ndarray:
         ctx = self.window
@@ -87,7 +197,7 @@ class DeflateEngine:
                 hi = min(lo + BLOCK_SYMBOLS, len(litlen))
                 raw_lo = 0 if lo == 0 else int(ends[lo - 1])
                 raw_hi = int(ends[hi - 1])
-                emit_block(
+                emit_block_adaptive(
                     self.sink,
                     litlen[lo:hi],
                     dist[lo:hi],

@@ -51,6 +51,49 @@ class RawInflateEngine:
     def finished(self) -> bool:
         return self.mode == MODE_DONE
 
+    def _try_native(self) -> np.ndarray | None:
+        """Fast path: the C++ serial decoder handles whole blocks.
+
+        Used whenever we are at a block boundary; incomplete trailing
+        blocks stay buffered and are re-decoded (with the window carried
+        as a dictionary) once more input arrives.  On malformed data we
+        return None so the vectorized path reproduces the precise error
+        message."""
+        if self.mode != MODE_HEADER:
+            return None
+        avail_bits = len(self.buf) * 8 - self.bit_pos
+        if avail_bits < (1 << 12):
+            return None
+        try:
+            from ..native import api as native_api
+            from ..native.bindings import native_available
+
+            if not native_available():
+                return None
+        except Exception:  # pragma: no cover
+            return None
+        out, consumed, status = native_api.inflate_raw(
+            self.buf, self.bit_pos, self.window
+        )
+        if status == native_api.STATUS_DATA_ERROR:
+            return None
+        if status == native_api.STATUS_OK:
+            self.mode = MODE_DONE
+        self.bit_pos = int(consumed)
+        if len(out):
+            self.total_out += len(out)
+            self.window = (
+                out[-WINDOW:].copy()
+                if len(out) >= WINDOW
+                else np.concatenate([self.window, out])[-WINDOW:]
+            )
+        if self.mode != MODE_DONE:
+            drop = self.bit_pos >> 3
+            if drop:
+                self.buf = self.buf[drop:]
+                self.bit_pos &= 7
+        return out.copy() if len(out) else np.empty(0, dtype=np.uint8)
+
     def set_dictionary(self, dictionary: np.ndarray) -> None:
         self.window = dictionary[-WINDOW:].astype(np.uint8)
 
@@ -69,6 +112,9 @@ class RawInflateEngine:
             self.buf = (
                 np.concatenate([self.buf, data]) if len(self.buf) else data.copy()
             )
+        out = self._try_native()
+        if out is not None:
+            return out
         token_chunks: list[tuple[np.ndarray, np.ndarray]] = []
         w64 = None
         avail_bits = len(self.buf) * 8

@@ -221,7 +221,20 @@ def tokenize_chunk(
     data: np.ndarray, ctx_len: int, level: int
 ) -> tuple[np.ndarray, np.ndarray]:
     """Full chunk -> token tape (litlen, dist) with zlib-compatible
-    semantics.  data[:ctx_len] is window context only."""
+    semantics.  data[:ctx_len] is window context only.
+
+    Dispatches to the native hash-chain matcher when available (same
+    token-tape contract); the vectorized path below is the algorithmic
+    reference and the template for the device kernel."""
+    try:
+        from ..native.bindings import native_available
+
+        if native_available():
+            from ..native import api as native_api
+
+            return native_api.tokenize(data, ctx_len, level)
+    except Exception:  # pragma: no cover
+        pass
     params = LEVELS[level]
     length, dist = find_matches(data, ctx_len, params)
     if len(length) == 0:

@@ -30,26 +30,39 @@ def _split(seed: int):
     return seed & 0xFFFF, (seed >> 16) & 0xFFFF
 
 
+_HOST_BLOCK = 1 << 20
+_weights_cache: dict = {}
+
+
+def _weights(b: int) -> np.ndarray:
+    w = _weights_cache.get(b)
+    if w is None:
+        w = np.arange(b, 0, -1, dtype=np.float64)
+        _weights_cache[b] = w
+    return w
+
+
 def adler32_host(data: np.ndarray, seed: int = 1) -> int:
-    """Vectorized-numpy Adler-32 of a uint8 array (int64 accumulation)."""
+    """Vectorized-numpy Adler-32 of a uint8 array.
+
+    Weighted sums go through BLAS f64 dot products per 1 MiB block —
+    exact because every partial sum stays below 2^53."""
     n = len(data)
     s1_0, s2_0 = _split(seed)
     if n == 0:
         return ((s2_0 << 16) | s1_0) & _MASK32
-    # Chunk so that sum((n-i)*x) stays within int64 comfortably.
-    CHUNK = 1 << 26
+    B = _HOST_BLOCK
+    w = _weights(B)
     s_total = 0
     w_total = 0
-    remaining_after = n
-    for start in range(0, n, CHUNK):
-        x = data[start : start + CHUNK].astype(np.int64)
+    for start in range(0, n, B):
+        x = data[start : start + B]
         m = len(x)
-        remaining_after -= m
-        # weights within chunk count to the end of the WHOLE stream:
-        # weight(i) = (m - i) + remaining_after
-        w_local = np.arange(m, 0, -1, dtype=np.int64)
-        s_c = int(x.sum())
-        w_c = int((x * w_local).sum()) + remaining_after * s_c
+        xf = x.astype(np.float64)
+        s_c = int(xf.sum())
+        # weight(i) = (m - i) + remaining_after, counted to stream end
+        remaining_after = n - (start + m)
+        w_c = int(np.dot(w[B - m :], xf)) + (remaining_after % MOD) * s_c
         s_total = (s_total + s_c) % MOD
         w_total = (w_total + w_c) % MOD
     s1 = (s1_0 + s_total) % MOD

@@ -1,0 +1,398 @@
+// tpuzlib native runtime kernels (host side).
+//
+// The TPU owns the data-parallel compute path (kernels/*.py); these C++
+// routines are the native runtime components around it — the serial
+// bitstream hot loops that a CPU does best:
+//   * tz_inflate_raw: raw-DEFLATE decode (pass-1+2 fused serial loop),
+//     capability parity with reference src/infcodes.ts inflate_fast +
+//     src/infblocks.ts block FSM, rebuilt around a 64-bit bit buffer and
+//     flat 15-bit LUTs.
+//   * tz_deflate_tokenize: hash-chain LZ77 match search + greedy/lazy
+//     parse emitting a token tape, capability parity with reference
+//     src/deflate.ts longest_match/deflate_slow.
+//
+// Build: g++ -O3 -shared -fPIC (see build.py).  Exposed via ctypes; all
+// functions are GIL-free so Python threads parallelize across chunks.
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr int MAX_BITS = 15;
+constexpr int LUT_SIZE = 1 << MAX_BITS;
+constexpr uint32_t F_LEN = 1u << 23;
+constexpr uint32_t F_EOB = 1u << 24;
+constexpr uint32_t F_INVALID = 1u << 31;
+
+const int32_t LENGTH_BASE[29] = {3,4,5,6,7,8,9,10,11,13,15,17,19,23,27,31,
+                                 35,43,51,59,67,83,99,115,131,163,195,227,258};
+const int32_t LENGTH_EXTRA[29] = {0,0,0,0,0,0,0,0,1,1,1,1,2,2,2,2,3,3,3,3,
+                                  4,4,4,4,5,5,5,5,0};
+const int32_t DIST_BASE[30] = {1,2,3,4,5,7,9,13,17,25,33,49,65,97,129,193,
+                               257,385,513,769,1025,1537,2049,3073,4097,6145,
+                               8193,12289,16385,24577};
+const int32_t DIST_EXTRA[30] = {0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,6,7,7,8,8,9,9,
+                                10,10,11,11,12,12,13,13};
+const int CLC_ORDER[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1,15};
+
+struct BitIn {
+  const uint8_t* data;
+  int64_t nbits;
+  int64_t pos;
+  bool ok;
+  BitIn(const uint8_t* d, int64_t bits, int64_t start)
+      : data(d), nbits(bits), pos(start), ok(true) {}
+  inline uint64_t peek64() const {
+    int64_t byte = pos >> 3;
+    uint64_t w = 0;
+    // safe unaligned little-endian load with tail clamp
+    int64_t avail_bytes = ((nbits + 7) >> 3) - byte;
+    if (avail_bytes >= 8) {
+      memcpy(&w, data + byte, 8);
+    } else if (avail_bytes > 0) {
+      memcpy(&w, data + byte, (size_t)avail_bytes);
+    }
+    return w >> (pos & 7);
+  }
+  inline uint32_t bits(int n) {
+    if (pos + n > nbits) { ok = false; return 0; }
+    uint32_t v = (uint32_t)(peek64() & ((1u << n) - 1));
+    pos += n;
+    return v;
+  }
+  inline void align() { pos = (pos + 7) & ~7LL; }
+};
+
+// canonical-Huffman flat LUT build; kind 0=litlen 1=dist 2=codelen
+// returns 0 ok, 1 oversubscribed, 2 incomplete
+int build_lut(const int32_t* lengths, int nsym, int kind, uint32_t* lut) {
+  int32_t counts[MAX_BITS + 1] = {0};
+  int ncodes = 0;
+  for (int s = 0; s < nsym; s++) {
+    if (lengths[s] < 0 || lengths[s] > MAX_BITS) return 1;
+    if (lengths[s] > 0) { counts[lengths[s]]++; ncodes++; }
+  }
+  for (int i = 0; i < LUT_SIZE; i++) lut[i] = F_INVALID;
+  if (ncodes == 0) return kind == 1 ? 0 : 2;
+  int64_t kraft = 0;
+  for (int b = 1; b <= MAX_BITS; b++) kraft += (int64_t)counts[b] << (MAX_BITS - b);
+  if (kraft > LUT_SIZE) return 1;
+  if (kraft < LUT_SIZE && !(ncodes == 1 && kind != 2)) return 2;
+  uint32_t next_code[MAX_BITS + 2] = {0};
+  uint32_t code = 0;
+  for (int b = 1; b <= MAX_BITS; b++) {
+    code = (code + counts[b - 1]) << 1;
+    next_code[b] = code;
+  }
+  for (int s = 0; s < nsym; s++) {
+    int l = lengths[s];
+    if (l == 0) continue;
+    uint32_t c = next_code[l]++;
+    // bit-reverse l bits
+    uint32_t rev = 0;
+    for (int b = 0; b < l; b++) { rev = (rev << 1) | ((c >> b) & 1); }
+    uint32_t ent;
+    if (kind == 0) {
+      if (s < 256) ent = (uint32_t)s;
+      else if (s == 256) ent = F_EOB;
+      else if (s <= 285) {
+        int li = s - 257;
+        ent = (uint32_t)LENGTH_BASE[li] | ((uint32_t)LENGTH_EXTRA[li] << 19) | F_LEN;
+      } else ent = F_INVALID;
+    } else if (kind == 1) {
+      if (s <= 29) ent = (uint32_t)DIST_BASE[s] | ((uint32_t)DIST_EXTRA[s] << 19);
+      else ent = F_INVALID;
+    } else {
+      ent = (uint32_t)s;
+    }
+    if (!(ent & F_INVALID)) ent |= (uint32_t)l << 15;
+    else ent = F_INVALID;  // keep invalid marker clean
+    for (uint32_t idx = rev; idx < (uint32_t)LUT_SIZE; idx += (1u << l)) lut[idx] = ent;
+  }
+  return 0;
+}
+
+void fixed_tables(uint32_t* lit, uint32_t* dist) {
+  static uint32_t flit[LUT_SIZE];
+  static uint32_t fdist[LUT_SIZE];
+  static bool built = false;
+  if (!built) {
+    int32_t ll[288];
+    for (int i = 0; i < 144; i++) ll[i] = 8;
+    for (int i = 144; i < 256; i++) ll[i] = 9;
+    for (int i = 256; i < 280; i++) ll[i] = 7;
+    for (int i = 280; i < 288; i++) ll[i] = 8;
+    build_lut(ll, 288, 0, flit);
+    int32_t dl[32];
+    for (int i = 0; i < 32; i++) dl[i] = 5;
+    build_lut(dl, 32, 1, fdist);
+    built = true;
+  }
+  memcpy(lit, flit, sizeof(flit));
+  memcpy(dist, fdist, sizeof(fdist));
+}
+
+}  // namespace
+
+extern "C" {
+
+// error codes
+// 0 ok; 1 need more input (truncated); 2 data error; 3 dst overflow
+// On success or truncation, *out_len = bytes written, *consumed_bits set.
+int tz_inflate_raw(const uint8_t* src, int64_t src_len, int64_t start_bit,
+                   uint8_t* dst, int64_t dst_cap, int64_t dict_len,
+                   int64_t* out_len, int64_t* consumed_bits) {
+  // dst buffer layout: dst[0..dict_len) preloaded with dictionary bytes;
+  // new output begins at dict_len.  Window lookbacks go through dst.
+  BitIn in(src, src_len * 8, start_bit);
+  int64_t out = dict_len;
+  static thread_local uint32_t lit_lut[LUT_SIZE];
+  static thread_local uint32_t dist_lut[LUT_SIZE];
+  int64_t block_start = start_bit;
+  int64_t block_start_out = out;
+
+  for (;;) {
+    block_start = in.pos;
+    block_start_out = out;
+    uint32_t last = in.bits(1);
+    uint32_t btype = in.bits(2);
+    if (!in.ok) { in.pos = block_start; break; }
+    if (btype == 3) { *out_len = out - dict_len; *consumed_bits = block_start; return 2; }
+    if (btype == 0) {
+      in.align();
+      uint32_t len = in.bits(16);
+      uint32_t nlen = in.bits(16);
+      if (!in.ok) { in.pos = block_start; break; }
+      if (len != (~nlen & 0xFFFF)) { *out_len = out - dict_len; *consumed_bits = block_start; return 2; }
+      if ((in.pos >> 3) + len > (uint64_t)src_len) { in.pos = block_start; break; }
+      if (out + len > dst_cap) { *out_len = out - dict_len; *consumed_bits = block_start; return 3; }
+      memcpy(dst + out, src + (in.pos >> 3), len);
+      out += len;
+      in.pos += (int64_t)len * 8;
+    } else {
+      if (btype == 1) {
+        fixed_tables(lit_lut, dist_lut);
+      } else {
+        uint32_t hlit = in.bits(5) + 257;
+        uint32_t hdist = in.bits(5) + 1;
+        uint32_t hclen = in.bits(4) + 4;
+        if (!in.ok) { in.pos = block_start; break; }
+        if (hlit > 286 || hdist > 30) { *out_len = out - dict_len; *consumed_bits = block_start; return 2; }
+        int32_t clc[19] = {0};
+        for (uint32_t i = 0; i < hclen; i++) clc[CLC_ORDER[i]] = (int32_t)in.bits(3);
+        if (!in.ok) { in.pos = block_start; break; }
+        static thread_local uint32_t clc_lut[LUT_SIZE];
+        if (build_lut(clc, 19, 2, clc_lut) != 0) { *out_len = out - dict_len; *consumed_bits = block_start; return 2; }
+        int32_t lengths[286 + 30] = {0};
+        uint32_t i = 0;
+        while (i < hlit + hdist) {
+          uint32_t ent = clc_lut[in.peek64() & (LUT_SIZE - 1)];
+          if (ent & F_INVALID) { *out_len = out - dict_len; *consumed_bits = block_start; return in.pos + 7 >= in.nbits ? 1 : 2; }
+          int nb = (ent >> 15) & 0xF;
+          if (in.pos + nb > in.nbits) { in.pos = block_start; goto need_more; }
+          uint32_t sym = ent & 0x7FFF;
+          in.pos += nb;
+          if (sym < 16) { lengths[i++] = (int32_t)sym; }
+          else if (sym == 16) {
+            if (i == 0) { *out_len = out - dict_len; *consumed_bits = block_start; return 2; }
+            uint32_t rep = 3 + in.bits(2);
+            if (!in.ok) { in.pos = block_start; goto need_more; }
+            if (i + rep > hlit + hdist) { *out_len = out - dict_len; *consumed_bits = block_start; return 2; }
+            int32_t prev = lengths[i - 1];
+            for (uint32_t r = 0; r < rep; r++) lengths[i++] = prev;
+          } else {
+            uint32_t rep = sym == 17 ? 3 + in.bits(3) : 11 + in.bits(7);
+            if (!in.ok) { in.pos = block_start; goto need_more; }
+            if (i + rep > hlit + hdist) { *out_len = out - dict_len; *consumed_bits = block_start; return 2; }
+            i += rep;  // zeros already there
+          }
+        }
+        if (lengths[256] == 0) { *out_len = out - dict_len; *consumed_bits = block_start; return 2; }
+        if (build_lut(lengths, (int)hlit, 0, lit_lut) != 0) { *out_len = out - dict_len; *consumed_bits = block_start; return 2; }
+        if (build_lut(lengths + hlit, (int)hdist, 1, dist_lut) != 0) { *out_len = out - dict_len; *consumed_bits = block_start; return 2; }
+      }
+      // symbol loop
+      for (;;) {
+        uint64_t w = in.peek64();
+        uint32_t ent = lit_lut[w & (LUT_SIZE - 1)];
+        if (ent & F_INVALID) {
+          if (in.pos + MAX_BITS >= in.nbits) goto need_more;
+          *out_len = out - dict_len; *consumed_bits = in.pos; return 2;
+        }
+        int nb = (ent >> 15) & 0xF;
+        int eb = (ent >> 19) & 0xF;
+        if (in.pos + nb + eb > in.nbits) goto need_more;
+        if (ent & F_EOB) { in.pos += nb; break; }
+        if (!(ent & F_LEN)) {
+          if (out >= dst_cap) { *out_len = out - dict_len; *consumed_bits = in.pos; return 3; }
+          dst[out++] = (uint8_t)(ent & 0xFF);
+          in.pos += nb;
+          continue;
+        }
+        int32_t length = (int32_t)(ent & 0x7FFF) + (int32_t)((w >> nb) & ((1u << eb) - 1));
+        int adv = nb + eb;
+        uint32_t dent = dist_lut[(w >> adv) & (LUT_SIZE - 1)];
+        if (dent & F_INVALID) {
+          if (in.pos + adv + MAX_BITS >= in.nbits) goto need_more;
+          *out_len = out - dict_len; *consumed_bits = in.pos; return 2;
+        }
+        int dnb = (dent >> 15) & 0xF;
+        int deb = (dent >> 19) & 0xF;
+        if (in.pos + adv + dnb + deb > in.nbits) goto need_more;
+        int32_t dist = (int32_t)(dent & 0x7FFF) +
+                       (int32_t)((w >> (adv + dnb)) & ((1u << deb) - 1));
+        in.pos += adv + dnb + deb;
+        if (dist > out) { *out_len = out - dict_len; *consumed_bits = in.pos; return 2; }
+        if (out + length > dst_cap) { *out_len = out - dict_len; *consumed_bits = in.pos; return 3; }
+        const uint8_t* from = dst + out - dist;
+        uint8_t* to = dst + out;
+        out += length;
+        if (dist >= length) {
+          memcpy(to, from, (size_t)length);
+        } else {
+          for (int32_t j = 0; j < length; j++) to[j] = from[j];
+        }
+      }
+    }
+    if (last) { *out_len = out - dict_len; *consumed_bits = in.pos; return 0; }
+  }
+need_more:
+  *out_len = block_start_out - dict_len;
+  *consumed_bits = block_start;
+  return 1;
+}
+
+// LZ77 hash-chain match search + greedy/lazy parse.
+// data: ctx_len context bytes then n new bytes.  Writes token tape
+// (litlen[i], dist[i]) and returns token count.
+int64_t tz_deflate_tokenize(const uint8_t* data, int64_t total, int64_t ctx_len,
+                            int max_chain, int max_lazy, int nice_len, int lazy,
+                            int32_t* out_litlen, int32_t* out_dist) {
+  constexpr int HASH_BITS = 16;
+  constexpr int HASH_SIZE = 1 << HASH_BITS;
+  constexpr int32_t WINDOW = 1 << 15;
+  constexpr int MIN_MATCH = 3;
+  constexpr int MAX_MATCH = 258;
+  constexpr int TOO_FAR3 = 128;
+
+  int32_t* head = new int32_t[HASH_SIZE];
+  int32_t* prev = new int32_t[total];
+  for (int i = 0; i < HASH_SIZE; i++) head[i] = -1;
+
+  auto hash_at = [&](int64_t i) -> uint32_t {
+    uint32_t v;
+    memcpy(&v, data + i, 4);
+    v &= 0xFFFFFF;  // 3-byte hash like the reference (deflate.ts hash_shift)
+    return (v * 2654435761u) >> (32 - HASH_BITS);
+  };
+  auto insert = [&](int64_t i) {
+    uint32_t h = hash_at(i);
+    prev[i] = head[h];
+    head[h] = (int32_t)i;
+  };
+  auto longest_match = [&](int64_t i, int32_t* best_dist, int chain_budget) -> int32_t {
+    int64_t limit = total - i;
+    if (limit > MAX_MATCH) limit = MAX_MATCH;
+    if (limit < MIN_MATCH) return 0;
+    int32_t best = 0;
+    int64_t min_pos = i - WINDOW;
+    if (min_pos < 0) min_pos = 0;
+    int32_t cand = head[hash_at(i)];
+    const uint8_t* cur = data + i;
+    while (cand >= min_pos && chain_budget-- > 0) {
+      if (cand >= i) { cand = prev[cand]; continue; }
+      const uint8_t* c = data + cand;
+      if (c[best] == cur[best]) {
+        int32_t len = 0;
+        while (len + 8 <= limit) {
+          uint64_t a, b;
+          memcpy(&a, cur + len, 8);
+          memcpy(&b, c + len, 8);
+          uint64_t x = a ^ b;
+          if (x) { len += (int32_t)(__builtin_ctzll(x) >> 3); goto donecmp; }
+          len += 8;
+        }
+        while (len < limit && c[len] == cur[len]) len++;
+      donecmp:
+        if (len > best) {
+          best = len;
+          *best_dist = (int32_t)(i - cand);
+          if (best >= nice_len || best >= limit) break;
+        }
+      }
+      cand = prev[cand];
+    }
+    if (best == MIN_MATCH && *best_dist > TOO_FAR3) return 0;
+    return best >= MIN_MATCH ? best : 0;
+  };
+
+  // seed hash chains with the context
+  for (int64_t i = 0; i + MIN_MATCH + 1 < ctx_len; i++) insert(i);
+
+  int64_t ntok = 0;
+  int64_t i = ctx_len;
+  int32_t prev_len = 0, prev_dist = 0;
+  bool have_prev = false;
+  while (i < total) {
+    int32_t dist = 0, len = 0;
+    if (i + MIN_MATCH + 1 <= total) {
+      insert(i);
+      len = longest_match(i, &dist, (have_prev && prev_len >= max_lazy / 4) ? max_chain / 4 : max_chain);
+    }
+    if (lazy) {
+      if (have_prev) {
+        if (len > prev_len) {
+          // defer: previous position becomes a literal
+          out_litlen[ntok] = data[i - 1];
+          out_dist[ntok] = 0;
+          ntok++;
+          prev_len = len; prev_dist = dist;
+          i++;
+          continue;
+        }
+        // emit previous match (covers i-1 .. i-1+prev_len-1)
+        out_litlen[ntok] = prev_len;
+        out_dist[ntok] = prev_dist;
+        ntok++;
+        int64_t end = i - 1 + prev_len;
+        // insert skipped positions into the hash chains
+        for (int64_t p = i + 1; p < end && p + MIN_MATCH + 1 <= total; p++) insert(p);
+        i = end;
+        have_prev = false;
+        continue;
+      }
+      if (len >= MIN_MATCH && len < max_lazy) {
+        prev_len = len; prev_dist = dist; have_prev = true;
+        i++;
+        continue;
+      }
+    }
+    if (len >= MIN_MATCH) {
+      out_litlen[ntok] = len;
+      out_dist[ntok] = dist;
+      ntok++;
+      int64_t end = i + len;
+      for (int64_t p = i + 1; p < end && p + MIN_MATCH + 1 <= total; p++) insert(p);
+      i = end;
+    } else {
+      out_litlen[ntok] = data[i];
+      out_dist[ntok] = 0;
+      ntok++;
+      i++;
+    }
+  }
+  if (have_prev) {
+    // stream ended while holding a deferred match: emit it
+    out_litlen[ntok] = prev_len;
+    out_dist[ntok] = prev_dist;
+    ntok++;
+  }
+  delete[] head;
+  delete[] prev;
+  return ntok;
+}
+
+int tz_version() { return 1; }
+
+}  // extern "C"
