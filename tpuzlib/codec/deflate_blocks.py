@@ -156,13 +156,16 @@ def emit_block_adaptive(
     dist: np.ndarray,
     raw: np.ndarray,
     last: bool,
-    min_symbols: int = 4096,
+    min_symbols: int = 8192,
+    _known_cost: int | None = None,
 ) -> None:
     """Emit tokens as one block or recursively split where mixing content
     families (e.g. text|random transitions) makes two trees cheaper.
 
     Refines the reference's fixed 16K-symbol flush policy (_tr_tally,
-    deflate.ts:488-524) with an explicit cost comparison."""
+    deflate.ts:488-524) with an explicit cost comparison.  Each level
+    reuses the parent's cost evaluation and stops when the split saves
+    less than a small margin."""
     n = len(litlen)
     if n <= 2 * min_symbols:
         emit_block(sink, litlen, dist, raw, last)
@@ -185,19 +188,19 @@ def emit_block_adaptive(
     out_lens = np.where(is_match, litlen, 1).astype(np.int64)
     ends = np.cumsum(out_lens)
     mid = n // 2
-    lf_w, df_w = freqs(0, n)
-    cost_whole = _segment_cost(lf_w, df_w, len(raw))
+    if _known_cost is None:
+        lf_w, df_w = freqs(0, n)
+        _known_cost = _segment_cost(lf_w, df_w, len(raw))
     lf_a, df_a = freqs(0, mid)
     lf_b, df_b = freqs(mid, n)
     raw_mid = int(ends[mid - 1])
-    cost_split = _segment_cost(lf_a, df_a, raw_mid) + _segment_cost(
-        lf_b, df_b, len(raw) - raw_mid
-    )
-    if cost_split < cost_whole:
+    cost_a = _segment_cost(lf_a, df_a, raw_mid)
+    cost_b = _segment_cost(lf_b, df_b, len(raw) - raw_mid)
+    if cost_a + cost_b + 1024 < _known_cost:
         emit_block_adaptive(sink, litlen[:mid], dist[:mid], raw[:raw_mid], False,
-                            min_symbols)
+                            min_symbols, cost_a)
         emit_block_adaptive(sink, litlen[mid:], dist[mid:], raw[raw_mid:], last,
-                            min_symbols)
+                            min_symbols, cost_b)
     else:
         emit_block(sink, litlen, dist, raw, last)
 

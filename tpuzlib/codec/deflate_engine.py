@@ -22,6 +22,7 @@ from .tables import WINDOW_SIZE
 # larger blocks amortize the header better AND compress smaller.
 BLOCK_SYMBOLS = 1 << 16
 CHUNK = 1 << 19  # input bytes compressed per vectorized pass
+MIN_PARALLEL_CHUNK = 1 << 16  # smallest chunk worth a thread
 HOLDBACK = 320  # bytes withheld during streaming so matches never lose
 #                 lookahead at a chunk boundary (MAX_MATCH + hash margin)
 
@@ -64,8 +65,14 @@ class DeflateEngine:
         )
 
     def finish(self) -> np.ndarray:
-        if len(self.pending) > 2 * CHUNK:
-            out = self._compress_parallel(self.pending, last=True)
+        import os
+
+        ncores = len(os.sched_getaffinity(0)) if hasattr(os, "sched_getaffinity") else os.cpu_count() or 1
+        if ncores > 1 and len(self.pending) > 4 * MIN_PARALLEL_CHUNK:
+            # split across available cores (halo costs 32K per extra chunk,
+            # so don't over-shard small inputs)
+            chunk = min(CHUNK, max(MIN_PARALLEL_CHUNK * 2, -(-len(self.pending) // ncores)))
+            out = self._compress_parallel(self.pending, last=True, chunk=chunk)
             self.pending = np.empty(0, dtype=np.uint8)
             self.finished = True
             return out
@@ -78,7 +85,9 @@ class DeflateEngine:
         self.finished = True
         return np.concatenate(outs)
 
-    def _compress_parallel(self, data: np.ndarray, last: bool) -> np.ndarray:
+    def _compress_parallel(
+        self, data: np.ndarray, last: bool, chunk: int = CHUNK
+    ) -> np.ndarray:
         """Thread-parallel chunk compression (one-shot / large appends).
 
         The native tokenizer releases the GIL, so chunks tokenize on all
@@ -92,9 +101,9 @@ class DeflateEngine:
         from .lz77 import tokenize_chunk
         from .tables import WINDOW_SIZE as W
 
-        nchunks = -(-len(data) // CHUNK)
+        nchunks = -(-len(data) // chunk)
         spans = [
-            (ci * CHUNK, min((ci + 1) * CHUNK, len(data))) for ci in range(nchunks)
+            (ci * chunk, min((ci + 1) * chunk, len(data))) for ci in range(nchunks)
         ]
 
         def tokenize_span(span):
