@@ -106,6 +106,15 @@ class DeflateEngine:
             (ci * chunk, min((ci + 1) * chunk, len(data))) for ci in range(nchunks)
         ]
 
+        try:
+            from ..native.bindings import native_available
+
+            use_native = native_available()
+        except Exception:
+            use_native = False
+        if use_native:
+            from .emit_native import emit_chunk_native, tokenize_full
+
         def tokenize_span(span):
             lo, hi = span
             if lo == 0:
@@ -115,6 +124,8 @@ class DeflateEngine:
             buf = (
                 np.concatenate([ctx, data[lo:hi]]) if len(ctx) else data[lo:hi]
             )
+            if use_native:
+                return tokenize_full(buf, len(ctx), self.level)
             return tokenize_chunk(buf, len(ctx), self.level)
 
         def emit_span(args):
@@ -125,8 +136,17 @@ class DeflateEngine:
             boundary: stored-block alignment inside any chunk is then
             globally correct, and chunk boundaries become byte-aligned
             resume points for parallel inflate."""
-            (lo, hi), (litlen, dist), is_last = args
+            (lo, hi), tape, is_last = args
             sink = BitSink()
+            if use_native:
+                litlen, dist, lf, df, soe = tape
+                emit_chunk_native(
+                    sink, litlen, dist, lf, df, soe, data[lo:hi], is_last
+                )
+                if not is_last:
+                    emit_stored(sink, np.empty(0, np.uint8), False)  # sync flush
+                return sink.flush(final=is_last)
+            litlen, dist = tape
             if len(litlen) == 0:
                 if is_last:
                     emit_block(
@@ -185,6 +205,24 @@ class DeflateEngine:
     def _compress(self, chunk: np.ndarray, last: bool) -> np.ndarray:
         ctx = self.window
         data = np.concatenate([ctx, chunk]) if len(ctx) else chunk
+        try:
+            from ..native.bindings import native_available
+
+            use_native = native_available()
+        except Exception:
+            use_native = False
+        if use_native:
+            from .emit_native import emit_chunk_native, tokenize_full
+
+            litlen, dist, lf, df, soe = tokenize_full(data, len(ctx), self.level)
+            emit_chunk_native(self.sink, litlen, dist, lf, df, soe, chunk, last)
+            self.window = (
+                np.concatenate([self.window, chunk])[-WINDOW_SIZE:]
+                if len(chunk) < WINDOW_SIZE
+                else chunk[-WINDOW_SIZE:].copy()
+            )
+            out, _, _ = self.sink.flush(final=last)
+            return out
         litlen, dist = tokenize_chunk(data, len(ctx), self.level)
 
         if len(litlen) == 0:

@@ -83,24 +83,7 @@ def inflate_raw(
 
 def tokenize(data: np.ndarray, ctx_len: int, level: int):
     """Native hash-chain LZ77 tokenize; mirrors lz77.tokenize_chunk."""
-    lib = get_lib()
-    assert lib is not None
-    data = np.ascontiguousarray(data)
-    n_new = len(data) - ctx_len
-    if n_new <= 0:
-        return np.empty(0, np.int32), np.empty(0, np.int32)
-    litlen = np.empty(n_new + 1, dtype=np.int32)
-    dist = np.empty(n_new + 1, dtype=np.int32)
-    chain, lazy_thresh, nice, lazy = NATIVE_LEVELS[level]
-    ntok = lib.tz_deflate_tokenize(
-        _p8(data),
-        np.int64(len(data)),
-        np.int64(ctx_len),
-        chain,
-        lazy_thresh,
-        nice,
-        lazy,
-        _p32(litlen),
-        _p32(dist),
-    )
-    return litlen[:ntok], dist[:ntok]
+    from ..codec.emit_native import tokenize_full
+
+    litlen, dist, _, _, _ = tokenize_full(data, ctx_len, level)
+    return litlen, dist

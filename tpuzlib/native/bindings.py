@@ -72,6 +72,14 @@ def get_lib():
             c_p8, c_i64, c_i64,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             c_p32, c_p32,
+            c_p32, c_p32, c_pi64, c_i64,
+        ]
+        lib.tz_emit_tokens.restype = c_i64
+        lib.tz_emit_tokens.argtypes = [
+            c_p32, c_p32, c_i64,
+            c_p32, ctypes.POINTER(ctypes.c_uint32),
+            c_p32, ctypes.POINTER(ctypes.c_uint32),
+            c_p8, c_i64, c_i64,
         ]
         _lib = lib
         return _lib

@@ -263,12 +263,49 @@ need_more:
   return 1;
 }
 
+namespace {
+// length (3..258) -> length code 257..285 and dist -> dist code tables
+struct SymTables {
+  int32_t len2code[256];
+  int32_t dist2code_small[256];
+  int32_t dist2code_large[256];
+  SymTables() {
+    for (int c = 0; c < 29; c++) {
+      int base = LENGTH_BASE[c] - 3;
+      int span = 1 << LENGTH_EXTRA[c];
+      for (int j = 0; j < span && base + j < 256; j++) len2code[base + j] = 257 + c;
+    }
+    len2code[255] = 285;
+    for (int c = 0; c < 16; c++) {
+      int lo = DIST_BASE[c] - 1;
+      int hi = lo + (1 << DIST_EXTRA[c]);
+      for (int j = lo; j < hi && j < 256; j++) dist2code_small[j] = c;
+    }
+    for (int c = 16; c < 30; c++) {
+      int lo = (DIST_BASE[c] - 1) >> 7;
+      int hi = (DIST_BASE[c] - 1 + (1 << DIST_EXTRA[c]) - 1) >> 7;
+      for (int j = lo; j <= hi && j < 256; j++) dist2code_large[j] = c;
+    }
+  }
+  inline int lsym(int32_t len) const { return len2code[len - 3]; }
+  inline int dsym(int32_t d) const {
+    return d <= 256 ? dist2code_small[d - 1] : dist2code_large[(d - 1) >> 7];
+  }
+};
+const SymTables g_sym;
+}  // namespace
+
 // LZ77 hash-chain match search + greedy/lazy parse.
 // data: ctx_len context bytes then n new bytes.  Writes token tape
-// (litlen[i], dist[i]) and returns token count.
+// (litlen[i], dist[i]); fills per-stripe symbol histograms
+// (lit_freq[stripe*286+s], dist_freq[stripe*30+s]) and records the
+// cumulative output byte count at each stripe end in stripe_out_end.
+// stripe = token_index / stripe_tokens.  Returns token count.
 int64_t tz_deflate_tokenize(const uint8_t* data, int64_t total, int64_t ctx_len,
                             int max_chain, int max_lazy, int nice_len, int lazy,
-                            int32_t* out_litlen, int32_t* out_dist) {
+                            int32_t* out_litlen, int32_t* out_dist,
+                            int32_t* lit_freq, int32_t* dist_freq,
+                            int64_t* stripe_out_end, int64_t stripe_tokens) {
   constexpr int HASH_BITS = 16;
   constexpr int HASH_SIZE = 1 << HASH_BITS;
   constexpr int32_t WINDOW = 1 << 15;
@@ -331,6 +368,22 @@ int64_t tz_deflate_tokenize(const uint8_t* data, int64_t total, int64_t ctx_len,
   for (int64_t i = 0; i + MIN_MATCH + 1 < ctx_len; i++) insert(i);
 
   int64_t ntok = 0;
+  int64_t out_bytes = 0;
+  auto put = [&](int32_t ll, int32_t dd) {
+    out_litlen[ntok] = ll;
+    out_dist[ntok] = dd;
+    int64_t stripe = ntok / stripe_tokens;
+    if (dd > 0) {
+      lit_freq[stripe * 286 + g_sym.lsym(ll)]++;
+      dist_freq[stripe * 30 + g_sym.dsym(dd)]++;
+      out_bytes += ll;
+    } else {
+      lit_freq[stripe * 286 + ll]++;
+      out_bytes += 1;
+    }
+    ntok++;
+    stripe_out_end[stripe] = out_bytes;
+  };
   int64_t i = ctx_len;
   int32_t prev_len = 0, prev_dist = 0;
   bool have_prev = false;
@@ -344,17 +397,13 @@ int64_t tz_deflate_tokenize(const uint8_t* data, int64_t total, int64_t ctx_len,
       if (have_prev) {
         if (len > prev_len) {
           // defer: previous position becomes a literal
-          out_litlen[ntok] = data[i - 1];
-          out_dist[ntok] = 0;
-          ntok++;
+          put(data[i - 1], 0);
           prev_len = len; prev_dist = dist;
           i++;
           continue;
         }
         // emit previous match (covers i-1 .. i-1+prev_len-1)
-        out_litlen[ntok] = prev_len;
-        out_dist[ntok] = prev_dist;
-        ntok++;
+        put(prev_len, prev_dist);
         int64_t end = i - 1 + prev_len;
         // insert skipped positions into the hash chains
         for (int64_t p = i + 1; p < end && p + MIN_MATCH + 1 <= total; p++) insert(p);
@@ -369,30 +418,76 @@ int64_t tz_deflate_tokenize(const uint8_t* data, int64_t total, int64_t ctx_len,
       }
     }
     if (len >= MIN_MATCH) {
-      out_litlen[ntok] = len;
-      out_dist[ntok] = dist;
-      ntok++;
+      put(len, dist);
       int64_t end = i + len;
       for (int64_t p = i + 1; p < end && p + MIN_MATCH + 1 <= total; p++) insert(p);
       i = end;
     } else {
-      out_litlen[ntok] = data[i];
-      out_dist[ntok] = 0;
-      ntok++;
+      put(data[i], 0);
       i++;
     }
   }
   if (have_prev) {
     // stream ended while holding a deferred match: emit it
-    out_litlen[ntok] = prev_len;
-    out_dist[ntok] = prev_dist;
-    ntok++;
+    put(prev_len, prev_dist);
   }
   delete[] head;
   delete[] prev;
   return ntok;
 }
 
-int tz_version() { return 1; }
+// Serial LSB-first bit emitter for a block body: token codes + EOB.
+// ll/dl: code lengths; lcodes/dcodes: bit-reversed canonical codes.
+// Writes into out (pre-zeroed) starting at start_bit; returns end bit
+// position, or -1 if out_cap (bytes) would overflow.
+int64_t tz_emit_tokens(const int32_t* litlen, const int32_t* dist, int64_t ntok,
+                       const int32_t* ll, const uint32_t* lcodes,
+                       const int32_t* dl, const uint32_t* dcodes,
+                       uint8_t* out, int64_t out_cap, int64_t start_bit) {
+  uint64_t acc = 0;
+  int nacc = 0;
+  int64_t byte_pos = start_bit >> 3;
+  if (start_bit & 7) {
+    acc = out[byte_pos];
+    nacc = (int)(start_bit & 7);
+  }
+  auto putbits = [&](uint32_t v, int n) {
+    acc |= (uint64_t)v << nacc;
+    nacc += n;
+    while (nacc >= 8) {
+      if (byte_pos >= out_cap) return false;
+      out[byte_pos++] = (uint8_t)acc;
+      acc >>= 8;
+      nacc -= 8;
+    }
+    return true;
+  };
+  for (int64_t t = 0; t < ntok; t++) {
+    int32_t d = dist[t];
+    if (d == 0) {
+      int s = litlen[t];
+      if (!putbits(lcodes[s], ll[s])) return -1;
+    } else {
+      int32_t len = litlen[t];
+      int s = g_sym.lsym(len);
+      if (!putbits(lcodes[s], ll[s])) return -1;
+      int eb = LENGTH_EXTRA[s - 257];
+      if (eb && !putbits((uint32_t)(len - LENGTH_BASE[s - 257]), eb)) return -1;
+      int ds = g_sym.dsym(d);
+      if (!putbits(dcodes[ds], dl[ds])) return -1;
+      int deb = DIST_EXTRA[ds];
+      if (deb && !putbits((uint32_t)(d - DIST_BASE[ds]), deb)) return -1;
+    }
+  }
+  if (!putbits(lcodes[256], ll[256])) return -1;  // EOB
+  int64_t end_bit = byte_pos * 8 + nacc;
+  if (nacc) {
+    if (byte_pos >= out_cap) return -1;
+    out[byte_pos] = (uint8_t)acc;
+  }
+  return end_bit;
+}
+
+int tz_version() { return 2; }
 
 }  // extern "C"
