@@ -13,7 +13,13 @@ from ..kernels import adler32 as _adler
 from ..kernels import crc32 as _crc
 
 # Below this size the dispatch overhead of a device call dwarfs the work.
-DEVICE_THRESHOLD = 4 << 20
+# Kept high by default because the axon tunnel makes transfers expensive;
+# pipelines with device-resident data call the kernels directly.
+import os
+
+DEVICE_THRESHOLD = int(
+    os.environ.get("TPUZLIB_DEVICE_CHECKSUM_THRESHOLD", 256 << 20)
+)
 
 _force_backend = None  # test hook: None | "host" | "device"
 

@@ -216,6 +216,10 @@ class DeflateEngine:
 
             litlen, dist, lf, df, soe = tokenize_full(data, len(ctx), self.level)
             emit_chunk_native(self.sink, litlen, dist, lf, df, soe, chunk, last)
+            if not last:
+                # byte-align mid-stream chunk boundaries (sync flush) so a
+                # following parallel batch can assume aligned starts
+                emit_stored(self.sink, np.empty(0, np.uint8), False)
             self.window = (
                 np.concatenate([self.window, chunk])[-WINDOW_SIZE:]
                 if len(chunk) < WINDOW_SIZE
@@ -251,6 +255,8 @@ class DeflateEngine:
                     chunk[raw_lo:raw_hi],
                     last and hi == len(litlen),
                 )
+        if not last:
+            emit_stored(self.sink, np.empty(0, np.uint8), False)  # sync flush
 
         self.window = (
             np.concatenate([self.window, chunk])[-WINDOW_SIZE:]
