@@ -308,22 +308,42 @@ int64_t tz_deflate_tokenize(const uint8_t* data, int64_t total, int64_t ctx_len,
                             int64_t* stripe_out_end, int64_t stripe_tokens) {
   constexpr int HASH_BITS = 16;
   constexpr int HASH_SIZE = 1 << HASH_BITS;
+  constexpr int H3_BITS = 14;
+  constexpr int H3_SIZE = 1 << H3_BITS;
   constexpr int32_t WINDOW = 1 << 15;
   constexpr int MIN_MATCH = 3;
   constexpr int MAX_MATCH = 258;
   constexpr int TOO_FAR3 = 128;
 
+  // two-level search: 4-byte hash chains (sparser buckets than the
+  // reference's 3-byte chains -> shorter walks for equal quality) plus a
+  // single-slot 3-byte last-occurrence table for the close short matches
+  // that the TOO_FAR3 rule admits.
   int32_t* head = new int32_t[HASH_SIZE];
   int32_t* prev = new int32_t[total];
+  int32_t* last3 = new int32_t[H3_SIZE];
   for (int i = 0; i < HASH_SIZE; i++) head[i] = -1;
+  for (int i = 0; i < H3_SIZE; i++) last3[i] = -1;
 
   auto hash_at = [&](int64_t i) -> uint32_t {
     uint32_t v;
     memcpy(&v, data + i, 4);
-    v &= 0xFFFFFF;  // 3-byte hash like the reference (deflate.ts hash_shift)
     return (v * 2654435761u) >> (32 - HASH_BITS);
   };
+  auto hash3_at = [&](int64_t i) -> uint32_t {
+    uint32_t v;
+    memcpy(&v, data + i, 4);
+    return ((v & 0xFFFFFF) * 2654435761u) >> (32 - H3_BITS);
+  };
   auto insert = [&](int64_t i) {
+    uint32_t h = hash_at(i);
+    prev[i] = head[h];
+    head[h] = (int32_t)i;
+    last3[hash3_at(i)] = (int32_t)i;
+  };
+  auto insert_chain = [&](int64_t i) {
+    // chain-only insert used right before searching position i: the
+    // single-slot last3 must still hold the PREVIOUS occurrence
     uint32_t h = hash_at(i);
     prev[i] = head[h];
     head[h] = (int32_t)i;
@@ -360,8 +380,19 @@ int64_t tz_deflate_tokenize(const uint8_t* data, int64_t total, int64_t ctx_len,
       }
       cand = prev[cand];
     }
+    if (best < MIN_MATCH) {
+      // no 4-byte match: try the close 3-byte slot
+      int32_t c3 = last3[hash3_at(i)];
+      if (c3 >= 0 && c3 < i && i - c3 <= TOO_FAR3 &&
+          data[c3] == cur[0] && data[c3 + 1] == cur[1] && data[c3 + 2] == cur[2] &&
+          limit >= MIN_MATCH) {
+        *best_dist = (int32_t)(i - c3);
+        return MIN_MATCH;
+      }
+      return 0;
+    }
     if (best == MIN_MATCH && *best_dist > TOO_FAR3) return 0;
-    return best >= MIN_MATCH ? best : 0;
+    return best;
   };
 
   // seed hash chains with the context
@@ -390,8 +421,9 @@ int64_t tz_deflate_tokenize(const uint8_t* data, int64_t total, int64_t ctx_len,
   while (i < total) {
     int32_t dist = 0, len = 0;
     if (i + MIN_MATCH + 1 <= total) {
-      insert(i);
+      insert_chain(i);
       len = longest_match(i, &dist, (have_prev && prev_len >= max_lazy / 4) ? max_chain / 4 : max_chain);
+      last3[hash3_at(i)] = (int32_t)i;
     }
     if (lazy) {
       if (have_prev) {
@@ -433,6 +465,7 @@ int64_t tz_deflate_tokenize(const uint8_t* data, int64_t total, int64_t ctx_len,
   }
   delete[] head;
   delete[] prev;
+  delete[] last3;
   return ntok;
 }
 
