@@ -107,22 +107,6 @@ def _prefix_len8(jnp, lo_a, hi_a, lo_b, hi_b):
     return plen
 
 
-def _candidates(jnp, h, k):
-    """k most recent same-hash predecessors per position (-1 = none).
-
-    One stable sort in place of per-position hash-chain walks."""
-    n = h.shape[0]
-    order = jnp.argsort(h).astype(jnp.int32)  # stable by default
-    sh = h[order]
-    cols = []
-    for j in range(1, k + 1):
-        same = sh[j:] == sh[:-j]
-        src = jnp.where(same, order[:-j], -1)
-        col_sorted = jnp.concatenate([jnp.full(j, -1, jnp.int32), src])
-        cols.append(jnp.zeros(n, jnp.int32).at[order].set(col_sorted))
-    return cols
-
-
 def match_and_parse(jax, jnp, data, ctx_valid, n_valid, level, ctx=CTX):
     """data: (ctx+N,) uint8; first ctx bytes are history (ctx_valid of
     them real).  Returns (is_token, litlen, dist) masked tape over the N
@@ -142,21 +126,54 @@ def match_and_parse(jax, jnp, data, ctx_valid, n_valid, level, ctx=CTX):
     second_cand = jnp.full(n, -1, dtype=jnp.int32)
 
     min_cand = ctx - ctx_valid
-    plo, phi = w32[ctx:], w32hi[ctx:]
 
+    # Sorted-domain screening: after the stable sort by (hash, position),
+    # the k most recent same-bucket predecessors are the k previous ROWS,
+    # so candidate windows come from contiguous shifts — no gathers in the
+    # k-deep inner loop, and only 2 gathers + 3 scatters per probe.
     for hash_bytes, k in params.probes:
         bits = 16 if hash_bytes <= 4 else 18
         h = _hash(jnp, w32, w32hi, hash_bytes, bits)
-        for c_full in _candidates(jnp, h, k):
-            c = c_full[ctx:]
-            ok = (c >= min_cand) & (pos - c <= WINDOW_SIZE) & (c < pos)
-            cc = jnp.where(ok, c, 0)
-            screen = _prefix_len8(jnp, plo, phi, w32[cc], w32hi[cc])
-            screen = jnp.where(ok, jnp.minimum(screen, limit), -1)
-            better = screen > best_screen
-            second_cand = jnp.where(better, best_cand, second_cand)
-            best_cand = jnp.where(better, cc, best_cand)
-            best_screen = jnp.where(better, screen, best_screen)
+        order = jnp.argsort(h).astype(jnp.int32)  # stable
+        sh = h[order]
+        so_lo = w32[order]
+        so_hi = w32hi[order]
+        sp = order
+        lim_sorted = jnp.clip(end_valid - sp, 0, MAX_MATCH)
+        sb_screen = jnp.zeros(total, dtype=jnp.int32)
+        sb_cand = jnp.full(total, -1, dtype=jnp.int32)
+        sb_second = jnp.full(total, -1, dtype=jnp.int32)
+        for j in range(1, k + 1):
+            padi = jnp.full(j, -1, jnp.int32)
+            same = jnp.concatenate([jnp.zeros(j, bool), sh[j:] == sh[:-j]])
+            cand_j = jnp.concatenate([padi, sp[:-j]])
+            ok = same & (sp - cand_j <= WINDOW_SIZE) & (cand_j >= min_cand)
+            padw = jnp.zeros(j, jnp.uint32)
+            sc = _prefix_len8(
+                jnp,
+                so_lo,
+                so_hi,
+                jnp.concatenate([padw, so_lo[:-j]]),
+                jnp.concatenate([padw, so_hi[:-j]]),
+            )
+            sc = jnp.where(ok, jnp.minimum(sc, lim_sorted), -1)
+            better = sc > sb_screen
+            sb_second = jnp.where(better, sb_cand, sb_second)
+            sb_cand = jnp.where(better, cand_j, sb_cand)
+            sb_screen = jnp.where(better, sc, sb_screen)
+        zero_full = jnp.zeros(total, jnp.int32)
+        scr_full = zero_full.at[order].set(sb_screen)[ctx:]
+        cand_full = zero_full.at[order].set(sb_cand)[ctx:]
+        sec_full = zero_full.at[order].set(sb_second)[ctx:]
+        better = scr_full > best_screen
+        second_cand = jnp.where(better, best_cand, second_cand)
+        best_cand = jnp.where(better, cand_full, best_cand)
+        best_screen = jnp.where(better, scr_full, best_screen)
+        second_cand = jnp.where(
+            (~better) & (sec_full >= 0) & (second_cand < 0), sec_full, second_cand
+        )
+    best_cand = jnp.where(best_cand >= 0, best_cand, -1)
+    second_cand = jnp.where(second_cand >= 0, second_cand, -1)
 
     def extend(cand):
         valid = cand >= 0
