@@ -95,3 +95,15 @@ def test_public_api_types(rng):
     f32 = rng.random(256, dtype=np.float32)
     assert checksums.crc32(f32) == zlib.crc32(f32.tobytes())
     assert checksums.adler32(f32) == zlib.adler32(f32.tobytes())
+
+
+def test_crc32_pallas_kernel(rng):
+    """Fused unpack+matmul Pallas kernel (interpret mode on CPU) must
+    agree with zlib and with the jnp device path's linear forms."""
+    from tpuzlib.kernels import crc32 as crc_k
+    from tpuzlib.kernels.crc32_pallas import BLOCK, TILE, crc32_device_pallas
+
+    for n in (BLOCK * TILE, BLOCK * TILE * 2 + 12345, 100):
+        d = rng.integers(0, 256, n, dtype=np.uint8)
+        assert crc32_device_pallas(d) == zlib.crc32(d.tobytes())
+        assert crc32_device_pallas(d, seed=77) == zlib.crc32(d.tobytes(), 77)

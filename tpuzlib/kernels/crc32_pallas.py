@@ -1,0 +1,93 @@
+"""Pallas TPU kernel for CRC-32: fused bit-unpack + GF(2) matmul.
+
+The jnp device path (kernels/crc32.py) materializes the 8x bit expansion
+in HBM (8 bytes of traffic per input byte).  This kernel keeps the
+expansion in VMEM: each grid step DMAs a tile of raw bytes, unpacks to
+bits on-core, multiplies against the resident (8B, 32) GF(2) block
+matrix on the MXU, and writes only the 4-byte linear form per block —
+HBM traffic drops to ~1 byte in + 4/B bytes out per input byte.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from . import crc32 as crc_k
+
+BLOCK = 1024  # bytes per CRC block (matches crc_k.DEVICE_BLOCK granularity)
+TILE = 256  # blocks per grid step
+
+
+@functools.lru_cache()
+def _kernel_fn(block: int, tile: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
+
+    def kernel(blocks_ref, m_ref, out_ref):
+        raw = blocks_ref[:].astype(jnp.int32)  # (tile, block) in VMEM
+        # one MXU matmul per bit plane (avoids minor-dim reshapes, which
+        # Mosaic cannot lay out): acc += bits_i @ M_plane_i
+        acc = jnp.zeros((tile, 32), jnp.float32)
+        for i in range(8):
+            bits_i = ((raw >> i) & 1).astype(jnp.bfloat16)
+            m_i = m_ref[i * block : (i + 1) * block, :].astype(jnp.bfloat16)
+            acc = acc + jnp.dot(bits_i, m_i, preferred_element_type=jnp.float32)
+        # write the 32 parity columns; packing to u32 happens outside
+        # (Pallas wants tile-friendly output shapes)
+        out_ref[:] = acc.astype(jnp.int32) & 1
+
+    m_raw = crc_k.block_matrix_bits(block)  # (8B, 32) int8, row j*8+i
+    # regroup rows into bit planes: plane i rows are bytes' bit i
+    m_bits = np.concatenate([m_raw[i::8] for i in range(8)])
+
+    @jax.jit
+    def run(blocks):
+        nb = blocks.shape[0]
+        grid = nb // tile
+        g = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((nb, 32), jnp.int32),
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((tile, block), lambda i: (i, 0)),
+                pl.BlockSpec((block * 8, 32), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((tile, 32), lambda i: (i, 0)),
+            interpret=interpret,
+        )(blocks, jnp.asarray(m_bits))
+        weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+        return jnp.sum(g.astype(jnp.uint32) * weights[None, :], axis=1,
+                       dtype=jnp.uint32)
+
+    return run
+
+
+def crc32_pallas_forms(blocks) -> np.ndarray:
+    """Per-block raw CRC linear forms via the fused Pallas kernel.
+
+    blocks: (nb, BLOCK) uint8 with nb a multiple of TILE."""
+    return _kernel_fn(BLOCK, TILE)(blocks)
+
+
+def crc32_device_pallas(data, seed: int = 0) -> int:
+    """CRC-32 with the Pallas per-block kernel + host combine tree."""
+    import jax.numpy as jnp
+
+    n = int(data.shape[0])
+    if n == 0:
+        return int(seed) & 0xFFFFFFFF
+    span = BLOCK * TILE
+    pad = (-n) % span
+    if isinstance(data, np.ndarray):
+        padded = np.concatenate([np.zeros(pad, dtype=np.uint8), data])
+    else:
+        padded = jnp.pad(data, (pad, 0))
+    blocks = padded.reshape(-1, BLOCK)
+    g = np.asarray(crc32_pallas_forms(blocks))
+    l_data = crc_k._combine_blocks(g, BLOCK)
+    return crc_k._finish(l_data, n, seed)
