@@ -133,6 +133,13 @@ def inflate(data, dictionary=None) -> np.ndarray:
         method == 0x78 and ((method << 8) + flag) % 31 == 0
     ) or (method == 0x1F and flag == 0x8B)
     inflater = Inflater(InflaterOptions(raw=not starts_with_ident, dictionary=dictionary))
+    if method == 0x1F and flag == 0x8B and len(input_) >= 18:
+        # whole gzip stream in hand: the trailer ISIZE (mod 2^32) is an
+        # exact allocation hint for the native decoder
+        import struct
+
+        isize = struct.unpack("<I", input_[-4:].tobytes())[0]
+        inflater._container.engine.size_hint = isize + 64
     buffers = inflater.append(input_)
     result = inflater.finish()
     if not result.success:

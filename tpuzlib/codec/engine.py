@@ -29,6 +29,7 @@ class RawInflateEngine:
     """Chunk-streaming raw DEFLATE decoder producing bytes per push."""
 
     def __init__(self, dictionary: np.ndarray | None = None):
+        self.size_hint = None  # decompressed-size hint (gzip ISIZE)
         self.buf = np.empty(0, dtype=np.uint8)
         self.bit_pos = 0
         self.mode = MODE_HEADER
@@ -73,7 +74,7 @@ class RawInflateEngine:
         except Exception:  # pragma: no cover
             return None
         out, consumed, status = native_api.inflate_raw(
-            self.buf, self.bit_pos, self.window
+            self.buf, self.bit_pos, self.window, size_hint=self.size_hint
         )
         if status == native_api.STATUS_DATA_ERROR:
             return None

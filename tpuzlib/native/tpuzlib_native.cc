@@ -250,6 +250,10 @@ int tz_inflate_raw(const uint8_t* src, int64_t src_len, int64_t start_bit,
         out += length;
         if (dist >= length) {
           memcpy(to, from, (size_t)length);
+        } else if (dist >= 8 && out + 8 <= dst_cap) {
+          for (int32_t j = 0; j < length; j += 8) {
+            uint64_t v; memcpy(&v, from + j, 8); memcpy(to + j, &v, 8);
+          }
         } else {
           for (int32_t j = 0; j < length; j++) to[j] = from[j];
         }
