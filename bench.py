@@ -59,7 +59,14 @@ def main():
     extras["inflate_32MB_MBps"] = round(len(big) / (time.time() - t0) / 1e6, 1)
     assert bytes(obig) == big
 
-    # --- TPU kernels -----------------------------------------------------
+    # --- TPU kernels (bounded: the remote-compile tunnel can stall) -----
+    import signal
+
+    def _alarm(sig, frame):
+        raise TimeoutError("tpu section timed out")
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(240)
     try:
         import jax
 
@@ -89,6 +96,8 @@ def main():
             assert crc_val == _z.crc32(data.tobytes())
     except Exception as e:  # pragma: no cover
         extras["tpu_error"] = str(e)[:120]
+    finally:
+        signal.alarm(0)
 
     # vs_baseline: reference deflate L6 midpoint 43.5 ms -> 10.8 MB/s
     baseline_mbps = 471162 / 0.0435 / 1e6
