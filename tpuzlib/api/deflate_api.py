@@ -67,8 +67,20 @@ class Deflater:
         self.engine = DeflateEngine(level, dictionary)
         self.checksum = 1 if self.format == "deflate" else 0
         self.orig_size = 0
+        self.compressed_size = 0
         self._started = False
         self._finished = False
+
+    @property
+    def total_in(self) -> int:
+        """Bytes consumed so far (parity with ZStream.total_in,
+        zstream.ts:24)."""
+        return self.orig_size
+
+    @property
+    def total_out(self) -> int:
+        """Compressed bytes produced so far (ZStream.total_out)."""
+        return self.compressed_size
 
     def _header(self) -> np.ndarray:
         if self.format == "deflate":
@@ -98,9 +110,13 @@ class Deflater:
         elif self.format == "gzip":
             self.checksum = crc32_host(view, self.checksum)
         self.orig_size += len(view)
-        out = self.engine.push(view)
+        from ..utils.trace import timed_stage
+
+        with timed_stage("deflate.append", len(view)):
+            out = self.engine.push(view)
         if len(out):
             buffers.append(out)
+        self.compressed_size += sum(len(b) for b in buffers)
         return buffers
 
     def finish(self) -> list[np.ndarray]:
@@ -109,12 +125,17 @@ class Deflater:
         if not self._started:
             raise RuntimeError("Cannot call finish before at least 1 call to append")
         self._finished = True
-        buffers = [self.engine.finish()]
+        from ..utils.trace import timed_stage
+
+        with timed_stage("deflate.finish"):
+            buffers = [self.engine.finish()]
         if self.format == "deflate":
             buffers.append(u8_view(make_zlib_trailer(self.checksum)))
         elif self.format == "gzip":
             buffers.append(u8_view(make_gzip_trailer(self.checksum, self.orig_size)))
-        return [b for b in buffers if len(b)]
+        buffers = [b for b in buffers if len(b)]
+        self.compressed_size += sum(len(b) for b in buffers)
+        return buffers
 
 
 def deflate(data, options: DeflaterOptions | None = None, **kwargs) -> np.ndarray:

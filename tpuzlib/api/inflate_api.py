@@ -64,6 +64,17 @@ class Inflater:
                 )
         self._container = ContainerInflater(raw, dictionary)
         self._finished = False
+        self._total_in = 0
+
+    @property
+    def total_in(self) -> int:
+        """Bytes consumed so far (ZStream.total_in parity)."""
+        return self._total_in
+
+    @property
+    def total_out(self) -> int:
+        """Decompressed bytes produced so far (ZStream.total_out)."""
+        return self._container.total_out
 
     def append(self, data) -> list[np.ndarray]:
         """Feed a chunk of compressed data; returns decompressed buffers."""
@@ -73,8 +84,12 @@ class Inflater:
             view = u8_view(data)
         except TypeError:
             raise TypeError("data must be an ArrayBuffer or buffer view")
+        self._total_in += len(view)
+        from ..utils.trace import timed_stage
+
         try:
-            out = self._container.push(view)
+            with timed_stage("inflate.append", len(view)):
+                out = self._container.push(view)
         except NeedDictionary as nd:
             if nd.args[0] == "required":
                 raise ValueError("Custom dictionary required for this data")
