@@ -22,24 +22,35 @@ def test_native_inflate_matches_zlib(rng, paradiselost):
     assert bytes(out) == paradiselost
 
 
-def test_native_inflate_truncation_block_granular(paradiselost):
-    """Truncated input: returns complete blocks + consumed at the last
-    block boundary so the engine can resume."""
+def test_native_inflate_stream_resume(paradiselost):
+    """Truncated input suspends at symbol granularity; the persistent
+    stream state resumes exactly where it stopped (native analog of the
+    reference's suspend/resume contract)."""
     from tpuzlib.native import api
 
     wire = np.frombuffer(zlib.compress(paradiselost, 6)[2:-4], np.uint8)
-    half = wire[: len(wire) // 2]
-    out, consumed, status = api.inflate_raw(half)
+    stream = api.InflateStream()
+    produced = b""
+    pos_bits = 0
+    status = None
+    for frac in (3, 2, 1):  # grow the visible prefix: 1/3, 1/2, all
+        visible = wire[: len(wire) // frac] if frac > 1 else wire
+        window = np.frombuffer(produced[-32768:], np.uint8)
+        out, consumed, status = stream.push(visible, pos_bits, window)
+        produced += bytes(out)
+        assert produced == paradiselost[: len(produced)]
+        pos_bits = int(consumed)
+    assert status == api.STATUS_OK
+    assert produced == paradiselost
+
+
+def test_native_inflate_truncation_partial_output(paradiselost):
+    from tpuzlib.native import api
+
+    wire = np.frombuffer(zlib.compress(paradiselost, 6)[2:-4], np.uint8)
+    out, consumed, status = api.inflate_raw(wire[: len(wire) // 2])
     assert status == api.STATUS_NEED_MORE
-    assert consumed <= len(half) * 8
-    assert consumed % 1 == 0
-    assert bytes(out) == paradiselost[: len(out)]
-    # resume: decode rest from the reported bit position with window ctx
-    out2, consumed2, status2 = api.inflate_raw(
-        wire, start_bit=int(consumed), dictionary=out[-32768:]
-    )
-    assert status2 == api.STATUS_OK
-    assert bytes(out) + bytes(out2) == paradiselost
+    assert bytes(out) == paradiselost[: len(out)] and len(out) > 0
 
 
 def test_native_tokenize_expands_correctly(rng, paradiselost):

@@ -30,6 +30,8 @@ class RawInflateEngine:
 
     def __init__(self, dictionary: np.ndarray | None = None):
         self.size_hint = None  # decompressed-size hint (gzip ISIZE)
+        self._nstream = None  # resumable native decoder state
+        self._native_midblock = False
         self.buf = np.empty(0, dtype=np.uint8)
         self.bit_pos = 0
         self.mode = MODE_HEADER
@@ -60,10 +62,10 @@ class RawInflateEngine:
         as a dictionary) once more input arrives.  On malformed data we
         return None so the vectorized path reproduces the precise error
         message."""
-        if self.mode != MODE_HEADER:
+        if self.mode != MODE_HEADER and not self._native_midblock:
             return None
         avail_bits = len(self.buf) * 8 - self.bit_pos
-        if avail_bits < (1 << 12):
+        if avail_bits < (1 << 12) and not self._native_midblock:
             return None
         try:
             from ..native import api as native_api
@@ -73,13 +75,21 @@ class RawInflateEngine:
                 return None
         except Exception:  # pragma: no cover
             return None
-        out, consumed, status = native_api.inflate_raw(
+        if self._nstream is None:
+            self._nstream = native_api.InflateStream()
+        out, consumed, status = self._nstream.push(
             self.buf, self.bit_pos, self.window, size_hint=self.size_hint
         )
         if status == native_api.STATUS_DATA_ERROR:
+            if self._native_midblock:
+                # the vectorized path cannot re-enter mid-block; surface a
+                # terminal error directly
+                raise DataError("invalid compressed data")
             return None
+        self._native_midblock = status == native_api.STATUS_NEED_MORE
         if status == native_api.STATUS_OK:
             self.mode = MODE_DONE
+            self._native_midblock = False
         self.bit_pos = int(consumed)
         if len(out):
             self.total_out += len(out)

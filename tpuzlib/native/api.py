@@ -81,6 +81,54 @@ def inflate_raw(
         return out, consumed.value, status
 
 
+class InflateStream:
+    """Resumable native decoder: Huffman tables + block mode persist in a
+    C-side state so streaming appends continue mid-block at symbol
+    granularity (the native analog of the reference's suspend/resume
+    contract, infblocks.ts:164-179)."""
+
+    def __init__(self):
+        import weakref
+
+        lib = get_lib()
+        assert lib is not None
+        self._lib = lib
+        self._ptr = lib.tz_state_new()
+        self._finalizer = weakref.finalize(self, lib.tz_state_free, self._ptr)
+
+    def push(
+        self,
+        data: np.ndarray,
+        start_bit: int,
+        window: np.ndarray,
+        size_hint: int | None = None,
+    ):
+        data = np.ascontiguousarray(data)
+        wlen = len(window)
+        cap = max(size_hint or 0, 4 * len(data) + (1 << 16))
+        while True:
+            dst = np.empty(wlen + cap, dtype=np.uint8)
+            if wlen:
+                dst[:wlen] = window
+            out_len = ctypes.c_int64(0)
+            consumed = ctypes.c_int64(0)
+            status = self._lib.tz_inflate_stream(
+                self._ptr,
+                _p8(data),
+                np.int64(len(data)),
+                np.int64(start_bit),
+                _p8(dst),
+                np.int64(len(dst)),
+                np.int64(wlen),
+                ctypes.byref(out_len),
+                ctypes.byref(consumed),
+            )
+            if status == STATUS_OVERFLOW:
+                cap *= 4
+                continue
+            return dst[wlen : wlen + out_len.value], consumed.value, status
+
+
 def tokenize(data: np.ndarray, ctx_len: int, level: int):
     """Native hash-chain LZ77 tokenize; mirrors lz77.tokenize_chunk."""
     from ..codec.emit_native import tokenize_full

@@ -74,6 +74,15 @@ def get_lib():
             c_p32, c_p32,
             c_p32, c_p32, c_pi64, c_i64,
         ]
+        lib.tz_state_new.restype = ctypes.c_void_p
+        lib.tz_state_new.argtypes = []
+        lib.tz_state_free.restype = None
+        lib.tz_state_free.argtypes = [ctypes.c_void_p]
+        lib.tz_inflate_stream.restype = ctypes.c_int
+        lib.tz_inflate_stream.argtypes = [
+            ctypes.c_void_p, c_p8, c_i64, c_i64, c_p8, c_i64, c_i64,
+            c_pi64, c_pi64,
+        ]
         lib.tz_emit_tokens.restype = c_i64
         lib.tz_emit_tokens.argtypes = [
             c_p32, c_p32, c_i64,

@@ -133,43 +133,92 @@ void fixed_tables(uint32_t* lit, uint32_t* dist) {
   memcpy(dist, fdist, sizeof(fdist));
 }
 
+struct TzState {
+  uint32_t lit_lut[LUT_SIZE];
+  uint32_t dist_lut[LUT_SIZE];
+  int mode;  // 0=block header, 1=stored, 2=huffman, 3=done
+  int last;
+  int64_t stored_remaining;
+};
+
 }  // namespace
 
 extern "C" {
 
+void* tz_state_new() {
+  TzState* st = new TzState();
+  st->mode = 0;
+  st->last = 0;
+  st->stored_remaining = 0;
+  return st;
+}
+
+void tz_state_free(void* p) { delete (TzState*)p; }
+
 // error codes
 // 0 ok; 1 need more input (truncated); 2 data error; 3 dst overflow
 // On success or truncation, *out_len = bytes written, *consumed_bits set.
-int tz_inflate_raw(const uint8_t* src, int64_t src_len, int64_t start_bit,
-                   uint8_t* dst, int64_t dst_cap, int64_t dict_len,
-                   int64_t* out_len, int64_t* consumed_bits) {
+int tz_inflate_stream(void* state, const uint8_t* src, int64_t src_len,
+                      int64_t start_bit, uint8_t* dst, int64_t dst_cap,
+                      int64_t dict_len, int64_t* out_len,
+                      int64_t* consumed_bits) {
   // dst buffer layout: dst[0..dict_len) preloaded with dictionary bytes;
   // new output begins at dict_len.  Window lookbacks go through dst.
+  // The state persists Huffman tables + block mode so streaming callers
+  // resume mid-block at symbol granularity (no partial-block re-decode).
+  TzState* st = (TzState*)state;
   BitIn in(src, src_len * 8, start_bit);
   int64_t out = dict_len;
-  static thread_local uint32_t lit_lut[LUT_SIZE];
-  static thread_local uint32_t dist_lut[LUT_SIZE];
+  uint32_t last = 0, btype = 0;
+  uint32_t* lit_lut = st->lit_lut;
+  uint32_t* dist_lut = st->dist_lut;
   int64_t block_start = start_bit;
   int64_t block_start_out = out;
+
+  if (st->mode == 3) { *out_len = 0; *consumed_bits = start_bit; return 0; }
+  if (st->mode == 1) goto resume_stored;
+  if (st->mode == 2) goto resume_huffman;
 
   for (;;) {
     block_start = in.pos;
     block_start_out = out;
-    uint32_t last = in.bits(1);
-    uint32_t btype = in.bits(2);
+    {
+    last = in.bits(1);
+    btype = in.bits(2);
     if (!in.ok) { in.pos = block_start; break; }
     if (btype == 3) { *out_len = out - dict_len; *consumed_bits = block_start; return 2; }
     if (btype == 0) {
       in.align();
-      uint32_t len = in.bits(16);
-      uint32_t nlen = in.bits(16);
-      if (!in.ok) { in.pos = block_start; break; }
-      if (len != (~nlen & 0xFFFF)) { *out_len = out - dict_len; *consumed_bits = block_start; return 2; }
-      if ((in.pos >> 3) + len > (uint64_t)src_len) { in.pos = block_start; break; }
-      if (out + len > dst_cap) { *out_len = out - dict_len; *consumed_bits = block_start; return 3; }
-      memcpy(dst + out, src + (in.pos >> 3), len);
-      out += len;
-      in.pos += (int64_t)len * 8;
+      {
+        uint32_t len = in.bits(16);
+        uint32_t nlen = in.bits(16);
+        if (!in.ok) { in.pos = block_start; break; }
+        if (len != (~nlen & 0xFFFF)) { *out_len = out - dict_len; *consumed_bits = block_start; return 2; }
+        st->stored_remaining = len;
+        st->last = (int)last;
+      }
+      st->mode = 1;
+resume_stored:
+      {
+        int64_t avail = src_len - (in.pos >> 3);
+        int64_t take = st->stored_remaining < avail ? st->stored_remaining : avail;
+        if (out + take > dst_cap) { *out_len = out - dict_len; *consumed_bits = in.pos; return 3; }
+        if (take > 0) {
+          memcpy(dst + out, src + (in.pos >> 3), (size_t)take);
+          out += take;
+          in.pos += take * 8;
+          st->stored_remaining -= take;
+        }
+        if (st->stored_remaining > 0) {
+          // need more input; resume in stored mode at a byte boundary
+          *out_len = out - dict_len;
+          *consumed_bits = in.pos;
+          return 1;
+        }
+        st->mode = 0;
+        if (st->last) { st->mode = 3; *out_len = out - dict_len; *consumed_bits = in.pos; return 0; }
+        continue;
+      }
     } else {
       if (btype == 1) {
         fixed_tables(lit_lut, dist_lut);
@@ -212,17 +261,20 @@ int tz_inflate_raw(const uint8_t* src, int64_t src_len, int64_t start_bit,
         if (build_lut(lengths, (int)hlit, 0, lit_lut) != 0) { *out_len = out - dict_len; *consumed_bits = block_start; return 2; }
         if (build_lut(lengths + hlit, (int)hdist, 1, dist_lut) != 0) { *out_len = out - dict_len; *consumed_bits = block_start; return 2; }
       }
+      st->mode = 2;
+      st->last = (int)last;
+resume_huffman:
       // symbol loop
       for (;;) {
         uint64_t w = in.peek64();
         uint32_t ent = lit_lut[w & (LUT_SIZE - 1)];
         if (ent & F_INVALID) {
-          if (in.pos + MAX_BITS >= in.nbits) goto need_more;
+          if (in.pos + MAX_BITS >= in.nbits) goto need_more_symbol;
           *out_len = out - dict_len; *consumed_bits = in.pos; return 2;
         }
         int nb = (ent >> 15) & 0xF;
         int eb = (ent >> 19) & 0xF;
-        if (in.pos + nb + eb > in.nbits) goto need_more;
+        if (in.pos + nb + eb > in.nbits) goto need_more_symbol;
         if (ent & F_EOB) { in.pos += nb; break; }
         if (!(ent & F_LEN)) {
           if (out >= dst_cap) { *out_len = out - dict_len; *consumed_bits = in.pos; return 3; }
@@ -234,12 +286,12 @@ int tz_inflate_raw(const uint8_t* src, int64_t src_len, int64_t start_bit,
         int adv = nb + eb;
         uint32_t dent = dist_lut[(w >> adv) & (LUT_SIZE - 1)];
         if (dent & F_INVALID) {
-          if (in.pos + adv + MAX_BITS >= in.nbits) goto need_more;
+          if (in.pos + adv + MAX_BITS >= in.nbits) goto need_more_symbol;
           *out_len = out - dict_len; *consumed_bits = in.pos; return 2;
         }
         int dnb = (dent >> 15) & 0xF;
         int deb = (dent >> 19) & 0xF;
-        if (in.pos + adv + dnb + deb > in.nbits) goto need_more;
+        if (in.pos + adv + dnb + deb > in.nbits) goto need_more_symbol;
         int32_t dist = (int32_t)(dent & 0x7FFF) +
                        (int32_t)((w >> (adv + dnb)) & ((1u << deb) - 1));
         in.pos += adv + dnb + deb;
@@ -259,12 +311,32 @@ int tz_inflate_raw(const uint8_t* src, int64_t src_len, int64_t start_bit,
         }
       }
     }
-    if (last) { *out_len = out - dict_len; *consumed_bits = in.pos; return 0; }
+    }
+    st->mode = 0;
+    if (st->last) { st->mode = 3; *out_len = out - dict_len; *consumed_bits = in.pos; return 0; }
   }
 need_more:
-  *out_len = block_start_out - dict_len;
+  // header-stage truncation: resume at the block start
+  st->mode = 0;
+  *out_len = out - dict_len;
   *consumed_bits = block_start;
   return 1;
+need_more_symbol:
+  // mid-block truncation: tables live in the state; resume at this symbol
+  *out_len = out - dict_len;
+  *consumed_bits = in.pos;
+  return 1;
+}
+
+int tz_inflate_raw(const uint8_t* src, int64_t src_len, int64_t start_bit,
+                   uint8_t* dst, int64_t dst_cap, int64_t dict_len,
+                   int64_t* out_len, int64_t* consumed_bits) {
+  static thread_local TzState st;
+  st.mode = 0;
+  st.last = 0;
+  st.stored_remaining = 0;
+  return tz_inflate_stream(&st, src, src_len, start_bit, dst, dst_cap,
+                           dict_len, out_len, consumed_bits);
 }
 
 namespace {
