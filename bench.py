@@ -59,14 +59,30 @@ def main():
     extras["inflate_32MB_MBps"] = round(len(big) / (time.time() - t0) / 1e6, 1)
     assert bytes(obig) == big
 
-    # --- TPU kernels (bounded: the remote-compile tunnel can stall) -----
+    # --- TPU kernels (bounded + retried: the remote tunnel can stall) ---
     import signal
 
     def _alarm(sig, frame):
         raise TimeoutError("tpu section timed out")
 
     signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(240)
+    for attempt, budget in ((0, 240), (1, 150)):
+        if attempt and "tpu_error" not in extras:
+            break
+        extras.pop("tpu_error", None)
+        signal.alarm(budget)
+        _run_tpu_section(extras, txt)
+        signal.alarm(0)
+
+    result = _emit(deflate_mbps, extras)
+    print(json.dumps(result))
+
+
+def _run_tpu_section(extras, txt):
+    import time
+
+    import numpy as np
+
     try:
         import jax
 
@@ -94,21 +110,49 @@ def main():
             import zlib as _z
 
             assert crc_val == _z.crc32(data.tobytes())
+
+            # device codec kernel (honest number: gather-bound this round)
+            from tpuzlib.kernels.deflate_device import (
+                CTX,
+                match_and_parse,
+                pack_static_block,
+            )
+
+            chunk = 1 << 18
+            dbuf = jax.device_put(
+                jnp.asarray(np.frombuffer((txt * 40)[: CTX + chunk], np.uint8))
+            )
+
+            @jax.jit
+            def dev_encode(x):
+                it, ll_, dd_ = match_and_parse(
+                    jax, jnp, x, jnp.int32(0), jnp.int32(chunk), 6
+                )
+                return pack_static_block(jax, jnp, it, ll_, dd_, jnp.int32(1))
+
+            r = dev_encode(dbuf)
+            np.asarray(r[1])
+            t0 = time.time()
+            for _ in range(3):
+                r = dev_encode(dbuf)
+                np.asarray(r[1])
+            extras["tpu_deflate_kernel_MBps"] = round(
+                chunk / ((time.time() - t0) / 3) / 1e6, 2
+            )
     except Exception as e:  # pragma: no cover
         extras["tpu_error"] = str(e)[:120]
-    finally:
-        signal.alarm(0)
 
+
+def _emit(deflate_mbps, extras):
     # vs_baseline: reference deflate L6 midpoint 43.5 ms -> 10.8 MB/s
     baseline_mbps = 471162 / 0.0435 / 1e6
-    result = {
+    return {
         "metric": "deflate_l6_throughput",
         "value": round(deflate_mbps, 2),
         "unit": "MB/s",
         "vs_baseline": round(deflate_mbps / baseline_mbps, 3),
         "extras": extras,
     }
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -18,3 +18,24 @@ def make_mesh(n_devices: int | None = None, platform: str | None = None):
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), ("shards",))
+
+
+def make_multihost_mesh(platform: str | None = None):
+    """Mesh over every chip in a multi-host slice.
+
+    Calls jax.distributed.initialize() when launched under a multi-host
+    runtime (JAX coordinator env vars present); shard placement follows
+    process order so the in-order gather (pipeline.py) reproduces stream
+    order across hosts — collectives ride ICI within a slice and DCN
+    across hosts exactly as jax lays the mesh out."""
+    import os
+
+    import jax
+
+    if (
+        jax.process_count() == 1
+        and os.environ.get("JAX_COORDINATOR_ADDRESS")
+        and not jax.distributed.is_initialized()
+    ):
+        jax.distributed.initialize()
+    return make_mesh(platform=platform)
