@@ -131,3 +131,55 @@ def test_graft_entry():
     words, nbits = jax.jit(fn)(*args)
     assert int(nbits) > 0
     g.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_fully_jit_dynamic_encoder():
+    """make_encode_chunk_dynamic: trees + header + body entirely on
+    device; output must be a valid dynamic DEFLATE block and no larger
+    than zlib at the same level."""
+    import jax.numpy as jnp
+
+    from tpuzlib.codec.bitsink import BitSink
+    from tpuzlib.kernels.deflate_device import make_encode_chunk_dynamic
+
+    ctx, n = 1 << 12, 1 << 15
+    enc = make_encode_chunk_dynamic(6, n, ctx=ctx)
+    for payload in (
+        TEXT[:n],
+        np.random.default_rng(5).integers(0, 256, n, np.uint8).tobytes(),
+        b"\x00" * n,
+    ):
+        data = np.zeros(ctx + n, np.uint8)
+        data[ctx:] = np.frombuffer(payload, np.uint8)
+        words, bits = enc(jnp.asarray(data), np.int32(0), np.int32(n), np.int32(1))
+        w, b = np.asarray(words), int(bits)
+        sink = BitSink()
+        if b >> 5:
+            sink.push(w[: b >> 5].astype(np.uint64), np.full(b >> 5, 32, np.int64))
+        if b & 31:
+            sink.push_scalar(int(w[b >> 5]) & ((1 << (b & 31)) - 1), b & 31)
+        raw, _, _ = sink.flush(final=True)
+        assert zlib.decompress(bytes(raw), -15) == payload
+
+
+def test_device_package_merge_matches_host(rng):
+    """Device package-merge lengths must satisfy Kraft and match the host
+    optimum's total cost."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuzlib.codec.huffman_encode import package_merge
+    from tpuzlib.kernels.huffman_device import package_merge_device
+
+    for trial in range(6):
+        freqs = rng.integers(0, 1000, 286, np.int64)
+        freqs[rng.integers(0, 286, 100)] = 0
+        dev = np.asarray(
+            package_merge_device(jax, jnp, jnp.asarray(freqs.astype(np.int32)), 15)
+        )
+        host = package_merge(freqs, 15)
+        kraft = (1 << 15) * np.sum(np.where(dev > 0, 2.0 ** (-dev.astype(float)), 0))
+        assert kraft <= (1 << 15) + 1e-6
+        cost_dev = int((freqs * dev).sum())
+        cost_host = int((freqs * host).sum())
+        assert cost_dev == cost_host, (trial, cost_dev, cost_host)

@@ -396,6 +396,88 @@ def make_encode_chunk(level: int, n: int):
     return encode
 
 
+def _bit_concat(jnp, segments, out_words: int):
+    """Concatenate (words u32[], nbits scalar) segments at the bit level
+    on device.  Segment word arrays have static length; nbits is traced."""
+    out = jnp.zeros(out_words, jnp.uint32)
+    pos = jnp.int32(0)
+    for w, nb in segments:
+        k = w.shape[0]
+        s = (pos & 31).astype(jnp.uint32)
+        base = pos >> 5
+        prev = jnp.concatenate([jnp.zeros(1, jnp.uint32), w[:-1]])
+        lo = (w << s).astype(jnp.uint32)
+        carry = jnp.where(s > 0, prev >> (jnp.uint32(32) - s), jnp.uint32(0))
+        shifted = lo | carry
+        tail = jnp.where(
+            s > 0, w[-1:] >> (jnp.uint32(32) - s), jnp.zeros(1, jnp.uint32)
+        )
+        idx = base + jnp.arange(k + 1, dtype=jnp.int32)
+        out = out.at[idx].add(jnp.concatenate([shifted, tail]))
+        pos = pos + nb
+    return out, pos
+
+
+def make_encode_chunk_dynamic(level: int, n: int, ctx: int = CTX):
+    """Fully-jittable dynamic-Huffman chunk encoder: match search, parse,
+    histograms, package-merge trees, canonical codes, header and body bit
+    packing all inside ONE jit program — zero host synchronization.
+
+    encode(data[CTX+n] u8, ctx_valid, n_valid, last)
+      -> (words u32[...], total_bits i32)
+    """
+    jax, jnp = _jnp()
+    from .huffman_device import (
+        canonical_codes_device,
+        dynamic_header_device,
+        package_merge_device,
+    )
+
+    _, _, _, _, len2code_np, dist2code_np = _static_tables()
+
+    @jax.jit
+    def encode(data, ctx_valid, n_valid, last):
+        is_token, litlen, dist = match_and_parse(
+            jax, jnp, data, ctx_valid, n_valid, level, ctx=ctx
+        )
+        len2code = jnp.asarray(len2code_np)
+        dist2code = jnp.asarray(dist2code_np)
+        is_match = dist > 0
+        lsym = jnp.where(is_match, len2code[jnp.clip(litlen - 3, 0, 255)], litlen)
+        dsym = dist2code[jnp.clip(dist - 1, 0, WINDOW_SIZE - 1)]
+        w = is_token.astype(jnp.int32)
+        lit_freq = jnp.zeros(286, jnp.int32).at[jnp.clip(lsym, 0, 285)].add(w)
+        lit_freq = lit_freq.at[256].add(1)  # EOB
+        dist_freq = jnp.zeros(30, jnp.int32).at[dsym].add(
+            (is_token & is_match).astype(jnp.int32)
+        )
+        ll = package_merge_device(jax, jnp, lit_freq, 15)
+        dl = package_merge_device(jax, jnp, dist_freq, 15)
+        lcodes = canonical_codes_device(jax, jnp, ll)
+        dcodes = canonical_codes_device(jax, jnp, dl)
+        hdr_words, hdr_bits = dynamic_header_device(jax, jnp, ll, dl)
+        body_words, body_bits = pack_block_tables(
+            jax, jnp, is_token, litlen, dist,
+            (jnp.concatenate([ll, jnp.zeros(2, jnp.int32)]),
+             jnp.concatenate([lcodes, jnp.zeros(2, jnp.uint32)]),
+             dl, dcodes),
+        )
+        # 3-bit header, LSB-first: BFINAL at bit 0, BTYPE=10 at bits 1-2
+        head3 = jnp.array([4], jnp.uint32) | last.astype(jnp.uint32)
+        out_words = body_words.shape[0] + hdr_words.shape[0] + 4
+        return _bit_concat(
+            jnp,
+            [
+                (head3, jnp.int32(3)),
+                (hdr_words, hdr_bits),
+                (body_words, body_bits),
+            ],
+            out_words,
+        )
+
+    return encode
+
+
 def make_tokenize_chunk(level: int, n: int):
     """Jitted: data -> (is_token, litlen, dist, lit_freq, dist_freq)."""
     jax, jnp = _jnp()
