@@ -18,7 +18,6 @@ from .bitsink import BitSink
 from .deflate_blocks import (
     MAX_STORED,
     _body_cost,
-    _segment_cost,
     build_dynamic_trees,
     emit_stored,
 )

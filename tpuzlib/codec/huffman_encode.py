@@ -15,7 +15,6 @@ import numpy as np
 
 from . import huffman
 from .tables import (
-    CLC_ORDER,
     DIST_EXTRA,
     LENGTH_EXTRA,
     dist_to_code,

@@ -15,8 +15,6 @@ Static-shape choices:
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 BIG = 1 << 29  # sentinel weight (sums stay < 2^30, safely inside int32)

@@ -21,8 +21,7 @@ import functools
 
 import numpy as np
 
-from ..codec import huffman
-from ..codec.tables import DIST_BASE, DIST_EXTRA, LENGTH_BASE, LENGTH_EXTRA, WINDOW_SIZE
+from ..codec.tables import WINDOW_SIZE
 
 
 def _jnp():
@@ -239,7 +238,6 @@ class DeviceInflater:
         """Decode all blocks; returns bits consumed.
 
         Raises tokenize.DataError on malformed input."""
-        from ..codec.engine import MODE_DONE
         from ..codec.tokenize import BitReader, DataError, parse_dynamic_header
         from ..codec.huffman import fixed_dist_lut, fixed_litlen_lut
 

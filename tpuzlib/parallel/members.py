@@ -12,7 +12,6 @@ flavor of the same sharding.
 
 from __future__ import annotations
 
-import struct
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np

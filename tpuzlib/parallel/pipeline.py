@@ -21,8 +21,6 @@ SPMD program is one shard_map:
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 from ..kernels import crc32 as crc_k
