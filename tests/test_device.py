@@ -183,3 +183,15 @@ def test_device_package_merge_matches_host(rng):
         cost_dev = int((freqs * dev).sum())
         cost_host = int((freqs * host).sum())
         assert cost_dev == cost_host, (trial, cost_dev, cost_host)
+
+
+def test_device_fully_jit_stream(mixed_data):
+    """dynamic="device": multi-chunk stream from the zero-host-sync
+    encoder must decode externally."""
+    from tpuzlib.kernels.deflate_device import deflate_device_raw
+
+    raw = deflate_device_raw(
+        np.frombuffer(mixed_data[:100000], np.uint8), level=4, chunk=1 << 15,
+        dynamic="device",
+    )
+    assert zlib.decompress(bytes(raw), -15) == mixed_data[:100000]

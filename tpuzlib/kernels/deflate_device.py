@@ -674,15 +674,17 @@ def _chunk_buffers(data, chunk):
 
 
 def deflate_device_raw(
-    data: np.ndarray, level: int = 6, chunk: int = 1 << 18, dynamic: bool = True
+    data: np.ndarray, level: int = 6, chunk: int = 1 << 18, dynamic=True
 ):
     """Compress to raw DEFLATE with the device pipeline.
 
     dynamic=True: device tokenizes + histograms, host builds optimal
     trees (tiny), device packs with those tables — one dynamic block per
-    chunk.  dynamic=False: fully-jitted static-tree encode (zero host
-    sync inside a chunk).  The match window flows across chunks via the
-    CTX halo.  Returns raw DEFLATE bytes."""
+    chunk.  dynamic="device": the fully-jittable path — trees, header and
+    body are all computed inside one jit program per chunk (zero host
+    sync).  dynamic=False: fully-jitted static-tree encode.  The match
+    window flows across chunks via the CTX halo.  Returns raw DEFLATE
+    bytes."""
     import jax.numpy as jnp
 
     from ..codec.bitsink import BitSink
@@ -690,6 +692,22 @@ def deflate_device_raw(
     from ..codec import huffman_encode as he_
 
     sink = BitSink()
+    if dynamic == "device":
+        encode = _get(
+            ("dyndev", level, chunk), lambda: make_encode_chunk_dynamic(level, chunk)
+        )
+        results = []
+        for ci, is_last, buf, ctx_valid, n_valid in _chunk_buffers(data, chunk):
+            results.append(
+                encode(
+                    jnp.asarray(buf), np.int32(ctx_valid), np.int32(n_valid),
+                    np.int32(1 if is_last else 0),
+                )
+            )
+        for words, total_bits in results:
+            _push_words(sink, words, total_bits)
+        out, _, _ = sink.flush(final=True)
+        return out
     if not dynamic:
         encode = _get(("static", level, chunk), lambda: make_encode_chunk(level, chunk))
         # dispatch everything asynchronously, pull at the end (hides the
