@@ -17,6 +17,41 @@ import numpy as np
 from .tokenize import DataError
 
 
+def _expand_native(litlen, dist, window):
+    import ctypes
+
+    try:
+        from ..native.bindings import get_lib, native_available
+
+        if not native_available():
+            return None
+        lib = get_lib()
+    except Exception:  # pragma: no cover
+        return None
+    litlen = np.ascontiguousarray(litlen, dtype=np.int32)
+    dist = np.ascontiguousarray(dist, dtype=np.int32)
+    is_copy = dist > 0
+    total = int(np.where(is_copy, litlen, 1).sum())
+    wlen = len(window)
+    dst = np.empty(wlen + total, dtype=np.uint8)
+    if wlen:
+        dst[:wlen] = window
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    out = lib.tz_expand_tokens(
+        litlen.ctypes.data_as(p32),
+        dist.ctypes.data_as(p32),
+        np.int64(len(litlen)),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.int64(len(dst)),
+        np.int64(wlen),
+    )
+    if out == -2:
+        raise DataError("invalid distance too far back")
+    if out < 0:  # pragma: no cover
+        return None
+    return dst[wlen : wlen + out]
+
+
 def expand_host(
     litlen: np.ndarray, dist: np.ndarray, window: np.ndarray
 ) -> np.ndarray:
@@ -24,10 +59,15 @@ def expand_host(
 
     window: previous output/dictionary context (up to 32 KiB), index -1
     is the byte immediately before the first output byte of this tape.
+    Dispatches to the native serial expander when available; the
+    vectorized pointer-doubling below is the device-algorithm reference.
     """
     ntok = len(litlen)
     if ntok == 0:
         return np.empty(0, dtype=np.uint8)
+    native = _expand_native(litlen, dist, window)
+    if native is not None:
+        return native
     is_copy = dist > 0
     out_lens = np.where(is_copy, litlen, 1).astype(np.int64)
     starts = np.zeros(ntok + 1, dtype=np.int64)

@@ -83,6 +83,15 @@ def get_lib():
             ctypes.c_void_p, c_p8, c_i64, c_i64, c_p8, c_i64, c_i64,
             c_pi64, c_pi64,
         ]
+        lib.tz_inflate_tokenize.restype = c_i64
+        lib.tz_inflate_tokenize.argtypes = [
+            c_p8, c_i64, c_i64, c_i64, c_p32, c_p32, c_i64,
+            c_pi64, c_p32, c_p32,
+        ]
+        lib.tz_expand_tokens.restype = c_i64
+        lib.tz_expand_tokens.argtypes = [
+            c_p32, c_p32, c_i64, c_p8, c_i64, c_i64,
+        ]
         lib.tz_emit_tokens.restype = c_i64
         lib.tz_emit_tokens.argtypes = [
             c_p32, c_p32, c_i64,

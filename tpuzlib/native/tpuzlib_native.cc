@@ -597,6 +597,148 @@ int64_t tz_emit_tokens(const int32_t* litlen, const int32_t* dist, int64_t ntok,
   return end_bit;
 }
 
+// Window-free tokenization for speculative parallel inflate: decode
+// symbols from start_bit into a token tape (no output buffer, no window
+// needed), stopping at the first block boundary at/after stop_bit or at
+// the final block.  Returns token count; *end_bit/*finished report the
+// chain position.  status: 0 ok, 2 data error, 3 tape overflow.
+int64_t tz_inflate_tokenize(const uint8_t* src, int64_t src_len,
+                            int64_t start_bit, int64_t stop_bit,
+                            int32_t* out_litlen, int32_t* out_dist,
+                            int64_t tape_cap, int64_t* end_bit,
+                            int32_t* finished, int32_t* status) {
+  BitIn in(src, src_len * 8, start_bit);
+  static thread_local uint32_t lit_lut[LUT_SIZE];
+  static thread_local uint32_t dist_lut[LUT_SIZE];
+  int64_t ntok = 0;
+  *finished = 0;
+  *status = 0;
+  for (;;) {
+    int64_t block_start = in.pos;
+    uint32_t last = in.bits(1);
+    uint32_t btype = in.bits(2);
+    if (!in.ok || btype == 3) { *status = 2; *end_bit = block_start; return ntok; }
+    if (btype == 0) {
+      in.align();
+      uint32_t len = in.bits(16);
+      uint32_t nlen = in.bits(16);
+      if (!in.ok || len != (~nlen & 0xFFFF)) { *status = 2; *end_bit = block_start; return ntok; }
+      if ((in.pos >> 3) + len > (uint64_t)src_len) { *status = 2; *end_bit = block_start; return ntok; }
+      if (ntok + (int64_t)len > tape_cap) { *status = 3; *end_bit = block_start; return ntok; }
+      const uint8_t* p = src + (in.pos >> 3);
+      for (uint32_t j = 0; j < len; j++) { out_litlen[ntok] = p[j]; out_dist[ntok] = 0; ntok++; }
+      in.pos += (int64_t)len * 8;
+    } else {
+      if (btype == 1) {
+        fixed_tables(lit_lut, dist_lut);
+      } else {
+        uint32_t hlit = in.bits(5) + 257;
+        uint32_t hdist = in.bits(5) + 1;
+        uint32_t hclen = in.bits(4) + 4;
+        if (!in.ok || hlit > 286 || hdist > 30) { *status = 2; *end_bit = block_start; return ntok; }
+        int32_t clc[19] = {0};
+        for (uint32_t i = 0; i < hclen; i++) clc[CLC_ORDER[i]] = (int32_t)in.bits(3);
+        if (!in.ok) { *status = 2; *end_bit = block_start; return ntok; }
+        static thread_local uint32_t clc_lut[LUT_SIZE];
+        if (build_lut(clc, 19, 2, clc_lut) != 0) { *status = 2; *end_bit = block_start; return ntok; }
+        int32_t lengths[286 + 30] = {0};
+        uint32_t i = 0;
+        while (i < hlit + hdist) {
+          uint32_t ent = clc_lut[in.peek64() & (LUT_SIZE - 1)];
+          if (ent & F_INVALID) { *status = 2; *end_bit = block_start; return ntok; }
+          int nb = (ent >> 15) & 0xF;
+          if (in.pos + nb > in.nbits) { *status = 2; *end_bit = block_start; return ntok; }
+          uint32_t sym = ent & 0x7FFF;
+          in.pos += nb;
+          if (sym < 16) { lengths[i++] = (int32_t)sym; }
+          else if (sym == 16) {
+            if (i == 0) { *status = 2; *end_bit = block_start; return ntok; }
+            uint32_t rep = 3 + in.bits(2);
+            if (!in.ok || i + rep > hlit + hdist) { *status = 2; *end_bit = block_start; return ntok; }
+            int32_t prev = lengths[i - 1];
+            for (uint32_t r = 0; r < rep; r++) lengths[i++] = prev;
+          } else {
+            uint32_t rep = sym == 17 ? 3 + in.bits(3) : 11 + in.bits(7);
+            if (!in.ok || i + rep > hlit + hdist) { *status = 2; *end_bit = block_start; return ntok; }
+            i += rep;
+          }
+        }
+        if (lengths[256] == 0 ||
+            build_lut(lengths, (int)hlit, 0, lit_lut) != 0 ||
+            build_lut(lengths + hlit, (int)hdist, 1, dist_lut) != 0) {
+          *status = 2; *end_bit = block_start; return ntok;
+        }
+      }
+      for (;;) {
+        uint64_t w = in.peek64();
+        uint32_t ent = lit_lut[w & (LUT_SIZE - 1)];
+        if (ent & F_INVALID) { *status = 2; *end_bit = in.pos; return ntok; }
+        int nb = (ent >> 15) & 0xF;
+        int eb = (ent >> 19) & 0xF;
+        if (in.pos + nb + eb > in.nbits) { *status = 2; *end_bit = in.pos; return ntok; }
+        if (ent & F_EOB) { in.pos += nb; break; }
+        if (ntok >= tape_cap) { *status = 3; *end_bit = in.pos; return ntok; }
+        if (!(ent & F_LEN)) {
+          out_litlen[ntok] = (int32_t)(ent & 0xFF);
+          out_dist[ntok] = 0;
+          ntok++;
+          in.pos += nb;
+          continue;
+        }
+        int32_t length = (int32_t)(ent & 0x7FFF) + (int32_t)((w >> nb) & ((1u << eb) - 1));
+        int adv = nb + eb;
+        uint32_t dent = dist_lut[(w >> adv) & (LUT_SIZE - 1)];
+        if (dent & F_INVALID) { *status = 2; *end_bit = in.pos; return ntok; }
+        int dnb = (dent >> 15) & 0xF;
+        int deb = (dent >> 19) & 0xF;
+        if (in.pos + adv + dnb + deb > in.nbits) { *status = 2; *end_bit = in.pos; return ntok; }
+        int32_t dist = (int32_t)(dent & 0x7FFF) +
+                       (int32_t)((w >> (adv + dnb)) & ((1u << deb) - 1));
+        in.pos += adv + dnb + deb;
+        out_litlen[ntok] = length;
+        out_dist[ntok] = dist;
+        ntok++;
+      }
+    }
+    if (last) { *finished = 1; *end_bit = in.pos; return ntok; }
+    if (in.pos >= stop_bit) { *end_bit = in.pos; return ntok; }
+  }
+}
+
+// Token-tape expansion: the serial host counterpart of the device
+// pointer-doubling expansion (codec/expand.py).  dst[0..dict_len) holds
+// window context; returns output length (excluding context) or -1 on
+// overflow / -2 on invalid distance.
+int64_t tz_expand_tokens(const int32_t* litlen, const int32_t* dist,
+                         int64_t ntok, uint8_t* dst, int64_t dst_cap,
+                         int64_t dict_len) {
+  int64_t out = dict_len;
+  for (int64_t t = 0; t < ntok; t++) {
+    int32_t d = dist[t];
+    if (d == 0) {
+      if (out >= dst_cap) return -1;
+      dst[out++] = (uint8_t)litlen[t];
+      continue;
+    }
+    int32_t len = litlen[t];
+    if (d > out) return -2;
+    if (out + len > dst_cap) return -1;
+    const uint8_t* from = dst + out - d;
+    uint8_t* to = dst + out;
+    out += len;
+    if (d >= len) {
+      memcpy(to, from, (size_t)len);
+    } else if (d >= 8 && out + 8 <= dst_cap) {
+      for (int32_t j = 0; j < len; j += 8) {
+        uint64_t v; memcpy(&v, from + j, 8); memcpy(to + j, &v, 8);
+      }
+    } else {
+      for (int32_t j = 0; j < len; j++) to[j] = from[j];
+    }
+  }
+  return out - dict_len;
+}
+
 int tz_version() { return 2; }
 
 }  // extern "C"
