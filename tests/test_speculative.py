@@ -63,3 +63,19 @@ def test_parallel_inflate_own_output(paradiselost):
     wire = bytes(tpuzlib.deflate(data, format="raw", level=6))
     out = inflate_parallel(wire, n_segments=3)
     assert bytes(out) == data
+
+
+def test_container_aware_parallel(paradiselost):
+    import tpuzlib
+    from tpuzlib.parallel import inflate_parallel_container
+
+    data = (paradiselost * 2)[: 1 << 20]
+    for fmt in ("deflate", "gzip", "raw"):
+        wire = tpuzlib.deflate(data, format=fmt, level=6)
+        out = inflate_parallel_container(wire, n_segments=3)
+        assert bytes(out) == data
+    # corrupted trailer must fail verification
+    wire = bytearray(tpuzlib.deflate(data, format="gzip"))
+    wire[-2] ^= 0xFF
+    with pytest.raises(ValueError, match="integrity"):
+        inflate_parallel_container(bytes(wire), n_segments=2)

@@ -303,3 +303,48 @@ def inflate_parallel(
         else np.empty(0, np.uint8)
     )
     return expand_host(litlen, dist, window)
+
+
+def inflate_parallel_container(data, n_segments=None, max_workers=None,
+                               dictionary=None, verify=True):
+    """Container-aware speculative decompression (zlib/gzip/raw
+    auto-detect, trailer checksum verification)."""
+    from ..common import u8_view
+    from ..containers.inflate_container import ContainerInflater
+
+    view = u8_view(data)
+    if len(view) < 2:
+        raise ValueError("data buffer is too small")
+    b0, b1 = int(view[0]), int(view[1])
+    if b0 == 0x1F and b1 == 0x8B:
+        c = ContainerInflater(raw=False)
+        consumed = c._try_parse_gzip_header(view)
+        if consumed is None:
+            raise ValueError("inflate error: truncated gzip header")
+        payload = view[consumed:-8]
+        import struct
+
+        stored_crc, isize = struct.unpack("<II", view[-8:].tobytes())
+        out = inflate_parallel(payload, n_segments, max_workers, dictionary)
+        if verify:
+            from ..api.checksums import crc32
+
+            if crc32(out) != stored_crc or (len(out) & 0xFFFFFFFF) != isize:
+                raise ValueError("Data integrity check failed")
+        return out
+    if (b0 & 0x0F) == 8 and (b0 >> 4) <= 7 and ((b0 << 8) + b1) % 31 == 0:
+        hdr = 2
+        if b1 & 0x20:  # FDICT
+            hdr = 6
+        payload = view[hdr:-4]
+        import struct
+
+        stored_adler = struct.unpack(">I", view[-4:].tobytes())[0]
+        out = inflate_parallel(payload, n_segments, max_workers, dictionary)
+        if verify:
+            from ..api.checksums import adler32
+
+            if adler32(out) != stored_adler:
+                raise ValueError("Data integrity check failed")
+        return out
+    return inflate_parallel(view, n_segments, max_workers, dictionary)
