@@ -513,10 +513,8 @@ int64_t tz_deflate_tokenize(const uint8_t* data, int64_t total, int64_t ctx_len,
         // emit previous match (covers i-1 .. i-1+prev_len-1)
         put(prev_len, prev_dist);
         int64_t end = i - 1 + prev_len;
-        // insert skipped positions; stride 2 inside long matches (their
-        // interiors rarely seed useful chains and halve insert cost)
-        int64_t stride = prev_len > 32 ? 2 : 1;
-        for (int64_t p = i + 1; p < end && p + MIN_MATCH + 1 <= total; p += stride) insert(p);
+        // insert skipped positions into the hash chains
+        for (int64_t p = i + 1; p < end && p + MIN_MATCH + 1 <= total; p++) insert(p);
         i = end;
         have_prev = false;
         continue;
@@ -530,8 +528,7 @@ int64_t tz_deflate_tokenize(const uint8_t* data, int64_t total, int64_t ctx_len,
     if (len >= MIN_MATCH) {
       put(len, dist);
       int64_t end = i + len;
-      int64_t stride = len > 32 ? 2 : 1;
-      for (int64_t p = i + 1; p < end && p + MIN_MATCH + 1 <= total; p += stride) insert(p);
+      for (int64_t p = i + 1; p < end && p + MIN_MATCH + 1 <= total; p++) insert(p);
       i = end;
     } else {
       put(data[i], 0);
