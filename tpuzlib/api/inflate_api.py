@@ -143,6 +143,22 @@ def inflate(data, dictionary=None) -> np.ndarray:
     input_ = u8_view(data)
     if len(input_) < 2:
         raise ValueError("data buffer is too small")
+    # many-core hosts: large streams decode via speculative segment
+    # parallelism (checksum-verified); any failure falls back to the
+    # standard path for exact reference error semantics
+    import os
+
+    try:
+        ncores = len(os.sched_getaffinity(0))
+    except AttributeError:  # pragma: no cover
+        ncores = os.cpu_count() or 1
+    if ncores >= 8 and len(input_) >= (16 << 20):
+        try:
+            from ..parallel.speculative import inflate_parallel_container
+
+            return inflate_parallel_container(input_, dictionary=dictionary)
+        except Exception:
+            pass
     method, flag = int(input_[0]), int(input_[1])
     starts_with_ident = (
         method == 0x78 and ((method << 8) + flag) % 31 == 0
