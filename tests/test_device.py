@@ -195,3 +195,19 @@ def test_device_fully_jit_stream(mixed_data):
         dynamic="device",
     )
     assert zlib.decompress(bytes(raw), -15) == mixed_data[:100000]
+
+
+@pytest.mark.parametrize("ndev", [3, 5, 7])
+def test_sharded_deflate_odd_device_counts(ndev):
+    import jax
+
+    from tpuzlib.parallel import make_mesh, sharded_deflate
+
+    if len(jax.devices()) < ndev:
+        pytest.skip("needs %d virtual devices" % ndev)
+    mesh = make_mesh(ndev)
+    data = np.frombuffer(TEXT[: ndev * 8192], np.uint8)
+    out, adler, crc = sharded_deflate(data, mesh, level=4)
+    assert zlib.decompress(bytes(out)) == data.tobytes()
+    assert adler == zlib.adler32(data.tobytes())
+    assert crc == zlib.crc32(data.tobytes())
