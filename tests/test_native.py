@@ -116,3 +116,56 @@ def test_parallel_mixed_content_stored_alignment(rng):
     assert zlib.decompress(bytes(wire)) == data
     assert len(wire) <= len(zlib.compress(data, 6))
     assert bytes(tpuzlib.inflate(wire)) == data
+
+
+def test_emit_chunk_c_parity_with_numpy_emit(rng, paradiselost):
+    """tz_emit_chunk (whole-chunk C emit) decodes byte-exact and stays
+    within a few bytes of the numpy emit path on varied content."""
+    from tpuzlib.codec.bitsink import BitSink
+    from tpuzlib.codec.deflate_blocks import emit_block_adaptive, emit_stored
+    from tpuzlib.codec.emit_native import emit_chunk_c, tokenize_full
+
+    cases = [
+        paradiselost[:200_000],
+        rng.integers(0, 256, 100_000, dtype=np.uint8).tobytes(),  # stored wins
+        paradiselost[:80_000] + rng.integers(0, 256, 80_000, dtype=np.uint8).tobytes(),
+        b"a" * 50_000,
+        b"xy",
+        b"",
+    ]
+    for level in (1, 6, 9):
+        for payload in cases:
+            d = np.frombuffer(payload, np.uint8)
+            litlen, dist, lf, df, soe = tokenize_full(d, 0, level)
+            for last in (True, False):
+                out = emit_chunk_c(litlen, dist, lf, df, soe, d, last, not last)
+                do = zlib.decompressobj(-15)
+                dec = do.decompress(bytes(out))
+                assert dec == payload
+                if last:
+                    assert do.eof
+            # size sanity vs the numpy emitter (same trees, same splits)
+            sink = BitSink()
+            if len(litlen):
+                emit_block_adaptive(sink, litlen, dist, d, True)
+            else:
+                from tpuzlib.codec.deflate_blocks import emit_block
+
+                emit_block(sink, litlen, dist, d, True)
+            ref, _, _ = sink.flush(final=True)
+            c_out = emit_chunk_c(litlen, dist, lf, df, soe, d, True, False)
+            assert len(c_out) <= len(ref) + 64
+
+
+def test_emit_chunk_c_max_distance_and_length(rng):
+    """dist=32768 / len=258 tokens survive the C emit round trip at every
+    block format (regression: fixed-tree table typo)."""
+    from tpuzlib.codec.emit_native import emit_chunk_c, tokenize_full
+
+    block = rng.integers(0, 256, 1000, dtype=np.uint8).tobytes()
+    payload = block + bytes(31768) + block + b"z" * 300
+    d = np.frombuffer(payload, np.uint8)
+    for level in (1, 9):
+        litlen, dist, lf, df, soe = tokenize_full(d, 0, level)
+        out = emit_chunk_c(litlen, dist, lf, df, soe, d, True, False)
+        assert zlib.decompressobj(-15).decompress(bytes(out)) == payload

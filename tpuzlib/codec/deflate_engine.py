@@ -113,7 +113,38 @@ class DeflateEngine:
         except Exception:
             use_native = False
         if use_native:
-            from .emit_native import emit_chunk_native, tokenize_full
+            from .emit_native import emit_chunk_c, tokenize_full
+
+            def process_span(idx):
+                """Tokenize + emit one chunk entirely in C (GIL-free), so
+                chunks run truly parallel across threads; each result is
+                byte-aligned (sync flush / final padding) and concatenates
+                directly."""
+                lo, hi = spans[idx]
+                ctx = self.window if lo == 0 else data[max(0, lo - W) : lo]
+                buf = (
+                    np.concatenate([ctx, data[lo:hi]])
+                    if len(ctx)
+                    else data[lo:hi]
+                )
+                is_last = last and idx == nchunks - 1
+                litlen, dist, lf, df, soe = tokenize_full(
+                    buf, len(ctx), self.level
+                )
+                return emit_chunk_c(
+                    litlen, dist, lf, df, soe, data[lo:hi], is_last,
+                    not is_last,
+                )
+
+            if nchunks == 1:
+                pieces = [process_span(0)]
+            else:
+                with ThreadPoolExecutor(max_workers=min(8, nchunks)) as ex:
+                    pieces = list(ex.map(process_span, range(nchunks)))
+            self.window = (
+                data[-WINDOW_SIZE:].copy() if len(data) else self.window
+            )
+            return np.concatenate(pieces)
 
         def tokenize_span(span):
             lo, hi = span
@@ -124,8 +155,6 @@ class DeflateEngine:
             buf = (
                 np.concatenate([ctx, data[lo:hi]]) if len(ctx) else data[lo:hi]
             )
-            if use_native:
-                return tokenize_full(buf, len(ctx), self.level)
             return tokenize_chunk(buf, len(ctx), self.level)
 
         def emit_span(args):
@@ -138,14 +167,6 @@ class DeflateEngine:
             resume points for parallel inflate."""
             (lo, hi), tape, is_last = args
             sink = BitSink()
-            if use_native:
-                litlen, dist, lf, df, soe = tape
-                emit_chunk_native(
-                    sink, litlen, dist, lf, df, soe, data[lo:hi], is_last
-                )
-                if not is_last:
-                    emit_stored(sink, np.empty(0, np.uint8), False)  # sync flush
-                return sink.flush(final=is_last)
             litlen, dist = tape
             if len(litlen) == 0:
                 if is_last:
@@ -212,20 +233,17 @@ class DeflateEngine:
         except Exception:
             use_native = False
         if use_native:
-            from .emit_native import emit_chunk_native, tokenize_full
+            from .emit_native import emit_chunk_c, tokenize_full
 
             litlen, dist, lf, df, soe = tokenize_full(data, len(ctx), self.level)
-            emit_chunk_native(self.sink, litlen, dist, lf, df, soe, chunk, last)
-            if not last:
-                # byte-align mid-stream chunk boundaries (sync flush) so a
-                # following parallel batch can assume aligned starts
-                emit_stored(self.sink, np.empty(0, np.uint8), False)
+            # sync flush on non-last chunks byte-aligns the boundary so a
+            # following parallel batch can assume aligned starts
+            out = emit_chunk_c(litlen, dist, lf, df, soe, chunk, last, not last)
             self.window = (
                 np.concatenate([self.window, chunk])[-WINDOW_SIZE:]
                 if len(chunk) < WINDOW_SIZE
                 else chunk[-WINDOW_SIZE:].copy()
             )
-            out, _, _ = self.sink.flush(final=last)
             return out
         litlen, dist = tokenize_chunk(data, len(ctx), self.level)
 

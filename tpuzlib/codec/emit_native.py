@@ -65,6 +65,49 @@ def tokenize_full(data: np.ndarray, ctx_len: int, level: int):
     return litlen[:ntok], dist[:ntok], lit_freq[:used], dist_freq[:used], soe
 
 
+def emit_chunk_c(
+    litlen: np.ndarray,
+    dist: np.ndarray,
+    lf: np.ndarray,
+    df: np.ndarray,
+    soe: np.ndarray,
+    raw: np.ndarray,
+    last: bool,
+    sync_flush: bool,
+) -> np.ndarray:
+    """Whole-chunk emit in one GIL-free native call (tz_emit_chunk): trees,
+    headers, adaptive splitting and bit packing all happen in C; the result
+    is byte-aligned (sync flush or final padding), so chunks concatenate
+    directly.  Mirrors emit_chunk_native (the numpy reference path)."""
+    from ..native.api import _p8, _p32
+    from ..native.bindings import get_lib
+
+    lib = get_lib()
+    litlen = np.ascontiguousarray(litlen, np.int32)
+    dist = np.ascontiguousarray(dist, np.int32)
+    lf = np.ascontiguousarray(lf, np.int32)
+    df = np.ascontiguousarray(df, np.int32)
+    soe = np.ascontiguousarray(soe, np.int64)
+    raw = np.ascontiguousarray(raw, np.uint8)
+    cap = len(raw) + (len(raw) >> 8) + 4096
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        end_bit = lib.tz_emit_chunk(
+            _p32(litlen), _p32(dist), np.int64(len(litlen)),
+            _p32(lf.reshape(-1)), _p32(df.reshape(-1)),
+            soe.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            np.int64(len(lf)), np.int64(STRIPE_TOKENS),
+            _p8(raw), np.int64(len(raw)),
+            1 if last else 0, 1 if sync_flush else 0,
+            _p8(out), np.int64(cap),
+        )
+        if end_bit < 0:
+            cap *= 2
+            continue
+        assert end_bit % 8 == 0, "chunk emit must end byte-aligned"
+        return out[: end_bit >> 3]
+
+
 def _emit_leaf(sink: BitSink, litlen, dist, lf, df, raw, last, lib):
     """Emit one block: choose format, write headers (python) + body (C)."""
     from ..native.api import _p32, _p8

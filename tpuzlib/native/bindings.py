@@ -92,6 +92,15 @@ def get_lib():
         lib.tz_expand_tokens.argtypes = [
             c_p32, c_p32, c_i64, c_p8, c_i64, c_i64,
         ]
+        lib.tz_emit_chunk.restype = c_i64
+        lib.tz_emit_chunk.argtypes = [
+            c_p32, c_p32, c_i64,
+            c_p32, c_p32,
+            c_pi64, c_i64, c_i64,
+            c_p8, c_i64,
+            ctypes.c_int, ctypes.c_int,
+            c_p8, c_i64,
+        ]
         lib.tz_emit_tokens.restype = c_i64
         lib.tz_emit_tokens.argtypes = [
             c_p32, c_p32, c_i64,
