@@ -43,10 +43,20 @@ def _weights(b: int) -> np.ndarray:
 
 
 def adler32_host(data: np.ndarray, seed: int = 1) -> int:
-    """Vectorized-numpy Adler-32 of a uint8 array.
+    """Adler-32 of a uint8 array: native serial fold when available, else
+    vectorized numpy (BLAS f64 dot products per 1 MiB block — exact
+    because every partial sum stays below 2^53)."""
+    from ..native.bindings import get_lib
 
-    Weighted sums go through BLAS f64 dot products per 1 MiB block —
-    exact because every partial sum stays below 2^53."""
+    lib = get_lib()
+    if lib is not None and len(data):
+        from ..native.api import _p8
+
+        data = np.ascontiguousarray(data)
+        return int(
+            lib.tz_adler32(_p8(data), np.int64(len(data)),
+                           np.uint32(int(seed) & _MASK32))
+        )
     n = len(data)
     s1_0, s2_0 = _split(seed)
     if n == 0:

@@ -144,10 +144,22 @@ def _finish(l_data: int, n: int, seed: int) -> int:
 
 
 def crc32_host(data: np.ndarray, seed: int = 0) -> int:
-    """Vectorized-numpy CRC-32 of a uint8 array."""
+    """CRC-32 of a uint8 array: native slice-by-8 when available, else the
+    vectorized-numpy GF(2) fold (the device kernel's algorithmic mirror)."""
     n = len(data)
     if n == 0:
         return int(seed) & _MASK32
+    from ..native.bindings import get_lib
+
+    lib = get_lib()
+    if lib is not None:
+        from ..native.api import _p8
+
+        data = np.ascontiguousarray(data)
+        return int(
+            lib.tz_crc32(_p8(data), np.int64(n),
+                         np.uint32(int(seed) & _MASK32))
+        )
     block = min(HOST_BLOCK, max(8, n))
     pad = (-n) % block
     padded = np.concatenate([np.zeros(pad, dtype=np.uint8), data])

@@ -66,15 +66,26 @@ struct BitIn {
 };
 
 // canonical-Huffman flat LUT build; kind 0=litlen 1=dist 2=codelen
-// returns 0 ok, 1 oversubscribed, 2 incomplete
-int build_lut(const int32_t* lengths, int nsym, int kind, uint32_t* lut) {
+// returns 0 ok, 1 oversubscribed, 2 incomplete.  The table is sized to the
+// longest code actually present (*out_bits entries of 2^bits) so typical
+// dynamic tables stay L1/L2-resident instead of a fixed 128 KiB.
+int build_lut(const int32_t* lengths, int nsym, int kind, uint32_t* lut,
+              int* out_bits) {
   int32_t counts[MAX_BITS + 1] = {0};
   int ncodes = 0;
+  int max_len = 0;
   for (int s = 0; s < nsym; s++) {
     if (lengths[s] < 0 || lengths[s] > MAX_BITS) return 1;
-    if (lengths[s] > 0) { counts[lengths[s]]++; ncodes++; }
+    if (lengths[s] > 0) {
+      counts[lengths[s]]++;
+      ncodes++;
+      if (lengths[s] > max_len) max_len = lengths[s];
+    }
   }
-  for (int i = 0; i < LUT_SIZE; i++) lut[i] = F_INVALID;
+  if (max_len == 0) max_len = 1;
+  int lut_size = 1 << max_len;
+  *out_bits = max_len;
+  for (int i = 0; i < lut_size; i++) lut[i] = F_INVALID;
   if (ncodes == 0) return kind == 1 ? 0 : 2;
   int64_t kraft = 0;
   for (int b = 1; b <= MAX_BITS; b++) kraft += (int64_t)counts[b] << (MAX_BITS - b);
@@ -109,14 +120,16 @@ int build_lut(const int32_t* lengths, int nsym, int kind, uint32_t* lut) {
     }
     if (!(ent & F_INVALID)) ent |= (uint32_t)l << 15;
     else ent = F_INVALID;  // keep invalid marker clean
-    for (uint32_t idx = rev; idx < (uint32_t)LUT_SIZE; idx += (1u << l)) lut[idx] = ent;
+    for (uint32_t idx = rev; idx < (uint32_t)lut_size; idx += (1u << l)) lut[idx] = ent;
   }
   return 0;
 }
 
-void fixed_tables(uint32_t* lit, uint32_t* dist) {
-  static uint32_t flit[LUT_SIZE];
-  static uint32_t fdist[LUT_SIZE];
+void fixed_tables(uint32_t* lit, uint32_t* dist, int* lit_bits,
+                  int* dist_bits) {
+  static uint32_t flit[1 << 9];
+  static uint32_t fdist[1 << 5];
+  static int flit_bits = 0, fdist_bits = 0;
   static bool built = false;
   if (!built) {
     int32_t ll[288];
@@ -124,19 +137,23 @@ void fixed_tables(uint32_t* lit, uint32_t* dist) {
     for (int i = 144; i < 256; i++) ll[i] = 9;
     for (int i = 256; i < 280; i++) ll[i] = 7;
     for (int i = 280; i < 288; i++) ll[i] = 8;
-    build_lut(ll, 288, 0, flit);
+    build_lut(ll, 288, 0, flit, &flit_bits);
     int32_t dl[32];
     for (int i = 0; i < 32; i++) dl[i] = 5;
-    build_lut(dl, 32, 1, fdist);
+    build_lut(dl, 32, 1, fdist, &fdist_bits);
     built = true;
   }
   memcpy(lit, flit, sizeof(flit));
   memcpy(dist, fdist, sizeof(fdist));
+  *lit_bits = flit_bits;
+  *dist_bits = fdist_bits;
 }
 
 struct TzState {
   uint32_t lit_lut[LUT_SIZE];
   uint32_t dist_lut[LUT_SIZE];
+  int lit_bits;
+  int dist_bits;
   int mode;  // 0=block header, 1=stored, 2=huffman, 3=done
   int last;
   int64_t stored_remaining;
@@ -173,6 +190,7 @@ int tz_inflate_stream(void* state, const uint8_t* src, int64_t src_len,
   uint32_t last = 0, btype = 0;
   uint32_t* lit_lut = st->lit_lut;
   uint32_t* dist_lut = st->dist_lut;
+  uint32_t lit_mask, dist_mask;
   int64_t block_start = start_bit;
   int64_t block_start_out = out;
 
@@ -222,7 +240,7 @@ resume_stored:
       }
     } else {
       if (btype == 1) {
-        fixed_tables(lit_lut, dist_lut);
+        fixed_tables(lit_lut, dist_lut, &st->lit_bits, &st->dist_bits);
       } else {
         uint32_t hlit = in.bits(5) + 257;
         uint32_t hdist = in.bits(5) + 1;
@@ -233,11 +251,13 @@ resume_stored:
         for (uint32_t i = 0; i < hclen; i++) clc[CLC_ORDER[i]] = (int32_t)in.bits(3);
         if (!in.ok) { in.pos = block_start; break; }
         static thread_local uint32_t clc_lut[LUT_SIZE];
-        if (build_lut(clc, 19, 2, clc_lut) != 0) { *out_len = out - dict_len; *consumed_bits = block_start; return 2; }
+        int clc_bits;
+        if (build_lut(clc, 19, 2, clc_lut, &clc_bits) != 0) { *out_len = out - dict_len; *consumed_bits = block_start; return 2; }
+        const uint32_t clc_mask = (1u << clc_bits) - 1;
         int32_t lengths[286 + 30] = {0};
         uint32_t i = 0;
         while (i < hlit + hdist) {
-          uint32_t ent = clc_lut[in.peek64() & (LUT_SIZE - 1)];
+          uint32_t ent = clc_lut[in.peek64() & clc_mask];
           if (ent & F_INVALID) { *out_len = out - dict_len; *consumed_bits = block_start; return in.pos + 7 >= in.nbits ? 1 : 2; }
           int nb = (ent >> 15) & 0xF;
           if (in.pos + nb > in.nbits) { in.pos = block_start; goto need_more; }
@@ -259,16 +279,18 @@ resume_stored:
           }
         }
         if (lengths[256] == 0) { *out_len = out - dict_len; *consumed_bits = block_start; return 2; }
-        if (build_lut(lengths, (int)hlit, 0, lit_lut) != 0) { *out_len = out - dict_len; *consumed_bits = block_start; return 2; }
-        if (build_lut(lengths + hlit, (int)hdist, 1, dist_lut) != 0) { *out_len = out - dict_len; *consumed_bits = block_start; return 2; }
+        if (build_lut(lengths, (int)hlit, 0, lit_lut, &st->lit_bits) != 0) { *out_len = out - dict_len; *consumed_bits = block_start; return 2; }
+        if (build_lut(lengths + hlit, (int)hdist, 1, dist_lut, &st->dist_bits) != 0) { *out_len = out - dict_len; *consumed_bits = block_start; return 2; }
       }
       st->mode = 2;
       st->last = (int)last;
 resume_huffman:
+      lit_mask = (1u << st->lit_bits) - 1;
+      dist_mask = (1u << st->dist_bits) - 1;
       // symbol loop
       for (;;) {
         uint64_t w = in.peek64();
-        uint32_t ent = lit_lut[w & (LUT_SIZE - 1)];
+        uint32_t ent = lit_lut[w & lit_mask];
         if (ent & F_INVALID) {
           if (in.pos + MAX_BITS >= in.nbits) goto need_more_symbol;
           *out_len = out - dict_len; *consumed_bits = in.pos; return 2;
@@ -285,7 +307,7 @@ resume_huffman:
         }
         int32_t length = (int32_t)(ent & 0x7FFF) + (int32_t)((w >> nb) & ((1u << eb) - 1));
         int adv = nb + eb;
-        uint32_t dent = dist_lut[(w >> adv) & (LUT_SIZE - 1)];
+        uint32_t dent = dist_lut[(w >> adv) & dist_mask];
         if (dent & F_INVALID) {
           if (in.pos + adv + MAX_BITS >= in.nbits) goto need_more_symbol;
           *out_len = out - dict_len; *consumed_bits = in.pos; return 2;
@@ -611,6 +633,7 @@ int64_t tz_inflate_tokenize(const uint8_t* src, int64_t src_len,
   BitIn in(src, src_len * 8, start_bit);
   static thread_local uint32_t lit_lut[LUT_SIZE];
   static thread_local uint32_t dist_lut[LUT_SIZE];
+  int lit_bits = MAX_BITS, dist_bits = MAX_BITS;
   int64_t ntok = 0;
   *finished = 0;
   *status = 0;
@@ -631,7 +654,7 @@ int64_t tz_inflate_tokenize(const uint8_t* src, int64_t src_len,
       in.pos += (int64_t)len * 8;
     } else {
       if (btype == 1) {
-        fixed_tables(lit_lut, dist_lut);
+        fixed_tables(lit_lut, dist_lut, &lit_bits, &dist_bits);
       } else {
         uint32_t hlit = in.bits(5) + 257;
         uint32_t hdist = in.bits(5) + 1;
@@ -641,11 +664,13 @@ int64_t tz_inflate_tokenize(const uint8_t* src, int64_t src_len,
         for (uint32_t i = 0; i < hclen; i++) clc[CLC_ORDER[i]] = (int32_t)in.bits(3);
         if (!in.ok) { *status = 2; *end_bit = block_start; return ntok; }
         static thread_local uint32_t clc_lut[LUT_SIZE];
-        if (build_lut(clc, 19, 2, clc_lut) != 0) { *status = 2; *end_bit = block_start; return ntok; }
+        int clc_bits;
+        if (build_lut(clc, 19, 2, clc_lut, &clc_bits) != 0) { *status = 2; *end_bit = block_start; return ntok; }
+        const uint32_t clc_mask = (1u << clc_bits) - 1;
         int32_t lengths[286 + 30] = {0};
         uint32_t i = 0;
         while (i < hlit + hdist) {
-          uint32_t ent = clc_lut[in.peek64() & (LUT_SIZE - 1)];
+          uint32_t ent = clc_lut[in.peek64() & clc_mask];
           if (ent & F_INVALID) { *status = 2; *end_bit = block_start; return ntok; }
           int nb = (ent >> 15) & 0xF;
           if (in.pos + nb > in.nbits) { *status = 2; *end_bit = block_start; return ntok; }
@@ -665,14 +690,16 @@ int64_t tz_inflate_tokenize(const uint8_t* src, int64_t src_len,
           }
         }
         if (lengths[256] == 0 ||
-            build_lut(lengths, (int)hlit, 0, lit_lut) != 0 ||
-            build_lut(lengths + hlit, (int)hdist, 1, dist_lut) != 0) {
+            build_lut(lengths, (int)hlit, 0, lit_lut, &lit_bits) != 0 ||
+            build_lut(lengths + hlit, (int)hdist, 1, dist_lut, &dist_bits) != 0) {
           *status = 2; *end_bit = block_start; return ntok;
         }
       }
+      const uint32_t lit_mask = (1u << lit_bits) - 1;
+      const uint32_t dist_mask = (1u << dist_bits) - 1;
       for (;;) {
         uint64_t w = in.peek64();
-        uint32_t ent = lit_lut[w & (LUT_SIZE - 1)];
+        uint32_t ent = lit_lut[w & lit_mask];
         if (ent & F_INVALID) { *status = 2; *end_bit = in.pos; return ntok; }
         int nb = (ent >> 15) & 0xF;
         int eb = (ent >> 19) & 0xF;
@@ -688,7 +715,7 @@ int64_t tz_inflate_tokenize(const uint8_t* src, int64_t src_len,
         }
         int32_t length = (int32_t)(ent & 0x7FFF) + (int32_t)((w >> nb) & ((1u << eb) - 1));
         int adv = nb + eb;
-        uint32_t dent = dist_lut[(w >> adv) & (LUT_SIZE - 1)];
+        uint32_t dent = dist_lut[(w >> adv) & dist_mask];
         if (dent & F_INVALID) { *status = 2; *end_bit = in.pos; return ntok; }
         int dnb = (dent >> 15) & 0xF;
         int deb = (dent >> 19) & 0xF;
@@ -1208,6 +1235,68 @@ int64_t tz_emit_chunk(const int32_t* litlen, const int32_t* dist, int64_t ntok,
   return bw.bitpos();
 }
 
-int tz_version() { return 3; }
+// ---------------------------------------------------------------------------
+// Host checksums: serial-stream mirrors of the device kernels
+// (kernels/adler32.py, kernels/crc32.py).  Seed-chainable like the
+// reference API (adler32.ts:17, crc32.ts:17).
+// ---------------------------------------------------------------------------
+
+uint32_t tz_adler32(const uint8_t* p, int64_t n, uint32_t seed) {
+  constexpr uint32_t BASE = 65521;
+  constexpr int64_t NMAX = 5552;  // max bytes before s2 can overflow u32
+  uint32_t s1 = seed & 0xFFFF;
+  uint32_t s2 = (seed >> 16) & 0xFFFF;
+  int64_t i = 0;
+  while (i < n) {
+    int64_t blk = n - i < NMAX ? n - i : NMAX;
+    int64_t j = 0;
+    for (; j + 16 <= blk; j += 16) {
+      const uint8_t* q = p + i + j;
+      for (int k = 0; k < 16; k++) { s1 += q[k]; s2 += s1; }
+    }
+    for (; j < blk; j++) { s1 += p[i + j]; s2 += s1; }
+    s1 %= BASE;
+    s2 %= BASE;
+    i += blk;
+  }
+  return (s2 << 16) | s1;
+}
+
+namespace {
+struct CrcTables {
+  uint32_t t[8][256];
+  CrcTables() {
+    for (uint32_t i = 0; i < 256; i++) {
+      uint32_t c = i;
+      for (int k = 0; k < 8; k++) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+      t[0][i] = c;
+    }
+    for (int s = 1; s < 8; s++)
+      for (uint32_t i = 0; i < 256; i++)
+        t[s][i] = t[0][t[s - 1][i] & 0xFF] ^ (t[s - 1][i] >> 8);
+  }
+};
+const CrcTables g_crc;
+}  // namespace
+
+uint32_t tz_crc32(const uint8_t* p, int64_t n, uint32_t seed) {
+  uint32_t c = ~seed;
+  int64_t i = 0;
+  // slice-by-8
+  for (; i + 8 <= n; i += 8) {
+    uint32_t lo, hi;
+    memcpy(&lo, p + i, 4);
+    memcpy(&hi, p + i + 4, 4);
+    lo ^= c;
+    c = g_crc.t[7][lo & 0xFF] ^ g_crc.t[6][(lo >> 8) & 0xFF] ^
+        g_crc.t[5][(lo >> 16) & 0xFF] ^ g_crc.t[4][lo >> 24] ^
+        g_crc.t[3][hi & 0xFF] ^ g_crc.t[2][(hi >> 8) & 0xFF] ^
+        g_crc.t[1][(hi >> 16) & 0xFF] ^ g_crc.t[0][hi >> 24];
+  }
+  for (; i < n; i++) c = g_crc.t[0][(c ^ p[i]) & 0xFF] ^ (c >> 8);
+  return ~c;
+}
+
+int tz_version() { return 4; }
 
 }  // extern "C"
