@@ -417,44 +417,51 @@ int64_t tz_deflate_tokenize(const uint8_t* data, int64_t total, int64_t ctx_len,
   // two-level search: 4-byte hash chains (sparser buckets than the
   // reference's 3-byte chains -> shorter walks for equal quality) plus a
   // single-slot 3-byte last-occurrence table for the close short matches
-  // that the TOO_FAR3 rule admits.
-  int32_t* head = new int32_t[HASH_SIZE];
-  int32_t* prev = new int32_t[total];
-  int32_t* last3 = new int32_t[H3_SIZE];
+  // that the TOO_FAR3 rule admits.  Tables persist per thread (grow-only
+  // prev) so repeated chunk calls skip the alloc + first-touch cost.
+  static thread_local int32_t* head = nullptr;
+  static thread_local int32_t* last3 = nullptr;
+  static thread_local int32_t* prev = nullptr;
+  static thread_local int64_t prev_cap = 0;
+  if (!head) head = new int32_t[HASH_SIZE];
+  if (!last3) last3 = new int32_t[H3_SIZE];
+  if (total > prev_cap) {
+    delete[] prev;
+    prev_cap = total + (total >> 2) + 4096;
+    prev = new int32_t[prev_cap];
+  }
   for (int i = 0; i < HASH_SIZE; i++) head[i] = -1;
   for (int i = 0; i < H3_SIZE; i++) last3[i] = -1;
 
-  auto hash_at = [&](int64_t i) -> uint32_t {
+  auto word_at = [&](int64_t i) -> uint32_t {
     uint32_t v;
     memcpy(&v, data + i, 4);
+    return v;
+  };
+  auto hash4 = [](uint32_t v) -> uint32_t {
     return (v * 2654435761u) >> (32 - HASH_BITS);
   };
-  auto hash3_at = [&](int64_t i) -> uint32_t {
-    uint32_t v;
-    memcpy(&v, data + i, 4);
+  auto hash3 = [](uint32_t v) -> uint32_t {
     return ((v & 0xFFFFFF) * 2654435761u) >> (32 - H3_BITS);
   };
+  auto hash_at = [&](int64_t i) -> uint32_t { return hash4(word_at(i)); };
+  auto hash3_at = [&](int64_t i) -> uint32_t { return hash3(word_at(i)); };
   auto insert = [&](int64_t i) {
-    uint32_t h = hash_at(i);
+    uint32_t v = word_at(i);
+    uint32_t h = hash4(v);
     prev[i] = head[h];
     head[h] = (int32_t)i;
-    last3[hash3_at(i)] = (int32_t)i;
+    last3[hash3(v)] = (int32_t)i;
   };
-  auto insert_chain = [&](int64_t i) {
-    // chain-only insert used right before searching position i: the
-    // single-slot last3 must still hold the PREVIOUS occurrence
-    uint32_t h = hash_at(i);
-    prev[i] = head[h];
-    head[h] = (int32_t)i;
-  };
-  auto longest_match = [&](int64_t i, int32_t* best_dist, int chain_budget) -> int32_t {
+  auto longest_match = [&](int64_t i, int32_t first_cand, int32_t* best_dist,
+                           int chain_budget) -> int32_t {
     int64_t limit = total - i;
     if (limit > MAX_MATCH) limit = MAX_MATCH;
     if (limit < MIN_MATCH) return 0;
     int32_t best = 0;
     int64_t min_pos = i - WINDOW;
     if (min_pos < 0) min_pos = 0;
-    int32_t cand = head[hash_at(i)];
+    int32_t cand = first_cand;
     const uint8_t* cur = data + i;
     while (cand >= min_pos && chain_budget-- > 0) {
       if (cand >= i) { cand = prev[cand]; continue; }
@@ -520,9 +527,19 @@ int64_t tz_deflate_tokenize(const uint8_t* data, int64_t total, int64_t ctx_len,
   while (i < total) {
     int32_t dist = 0, len = 0;
     if (i + MIN_MATCH + 1 <= total) {
-      insert_chain(i);
-      len = longest_match(i, &dist, (have_prev && prev_len >= max_lazy / 4) ? max_chain / 4 : max_chain);
-      last3[hash3_at(i)] = (int32_t)i;
+      // chain insert fused with the search: the walk starts at the OLD
+      // head, and the single-slot last3 must still hold the previous
+      // occurrence while position i is searched
+      uint32_t v = word_at(i);
+      uint32_t h = hash4(v);
+      int32_t cand = head[h];
+      prev[i] = cand;
+      head[h] = (int32_t)i;
+      len = longest_match(i, cand, &dist,
+                          (have_prev && prev_len >= max_lazy / 4)
+                              ? max_chain / 4
+                              : max_chain);
+      last3[hash3(v)] = (int32_t)i;
     }
     if (lazy) {
       if (have_prev) {
@@ -562,9 +579,6 @@ int64_t tz_deflate_tokenize(const uint8_t* data, int64_t total, int64_t ctx_len,
     // stream ended while holding a deferred match: emit it
     put(prev_len, prev_dist);
   }
-  delete[] head;
-  delete[] prev;
-  delete[] last3;
   return ntok;
 }
 
