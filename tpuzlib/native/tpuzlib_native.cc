@@ -287,8 +287,72 @@ resume_stored:
 resume_huffman:
       lit_mask = (1u << st->lit_bits) - 1;
       dist_mask = (1u << st->dist_bits) - 1;
-      // symbol loop
+      // symbol loop: a bounds-check-free fast loop while input has >=64
+      // spare bits and output >=266 spare bytes (one unaligned 64-bit
+      // load covers a whole len+dist token: 15+5+15+13 = 48 bits <= 57
+      // usable after sub-byte shift), then the careful suspend/resume
+      // path near the margins (reference infcodes.ts inflate_fast
+      // :57-301 vs the per-symbol slow path :314-676).
       for (;;) {
+        {
+          const int64_t fast_in = in.nbits - 64;
+          const int64_t fast_out = dst_cap - 266;
+          while (in.pos <= fast_in && out <= fast_out) {
+            uint64_t w;
+            memcpy(&w, in.data + (in.pos >> 3), 8);
+            w >>= (in.pos & 7);
+            uint32_t ent = lit_lut[w & lit_mask];
+            if (ent & F_INVALID) {
+              *out_len = out - dict_len; *consumed_bits = in.pos; return 2;
+            }
+            int nb = (ent >> 15) & 0xF;
+            if (!(ent & (F_EOB | F_LEN))) {
+              dst[out++] = (uint8_t)(ent & 0xFF);
+              in.pos += nb;
+              // second literal from the same load (<=30 bits used)
+              w >>= nb;
+              ent = lit_lut[w & lit_mask];
+              if (!(ent & (F_INVALID | F_EOB | F_LEN))) {
+                dst[out++] = (uint8_t)(ent & 0xFF);
+                in.pos += (ent >> 15) & 0xF;
+              }
+              continue;
+            }
+            if (ent & F_EOB) { in.pos += nb; goto end_of_block; }
+            int eb = (ent >> 19) & 0xF;
+            int32_t length = (int32_t)(ent & 0x7FFF) +
+                             (int32_t)((w >> nb) & ((1u << eb) - 1));
+            int adv = nb + eb;
+            uint32_t dent = dist_lut[(w >> adv) & dist_mask];
+            if (dent & F_INVALID) {
+              *out_len = out - dict_len; *consumed_bits = in.pos; return 2;
+            }
+            int dnb = (dent >> 15) & 0xF;
+            int deb = (dent >> 19) & 0xF;
+            int32_t dist = (int32_t)(dent & 0x7FFF) +
+                           (int32_t)((w >> (adv + dnb)) & ((1u << deb) - 1));
+            in.pos += adv + dnb + deb;
+            if (dist > out) {
+              *out_len = out - dict_len; *consumed_bits = in.pos; return 2;
+            }
+            const uint8_t* from = dst + out - dist;
+            uint8_t* to = dst + out;
+            out += length;
+            if (dist >= 8) {
+              // 8-byte chunked copy; may write up to 7 bytes past the
+              // match end — the 266-byte output margin covers it
+              for (int32_t j = 0; j < length; j += 8) {
+                uint64_t v; memcpy(&v, from + j, 8); memcpy(to + j, &v, 8);
+              }
+            } else if (dist == 1) {
+              memset(to, from[0], (size_t)length);
+            } else {
+              for (int32_t j = 0; j < length; j++) to[j] = from[j];
+            }
+          }
+        }
+        // careful path (input or output margin exhausted): one symbol
+        {
         uint64_t w = in.peek64();
         uint32_t ent = lit_lut[w & lit_mask];
         if (ent & F_INVALID) {
@@ -332,7 +396,9 @@ resume_huffman:
         } else {
           for (int32_t j = 0; j < length; j++) to[j] = from[j];
         }
+        }
       }
+end_of_block:;
     }
     }
     st->mode = 0;
