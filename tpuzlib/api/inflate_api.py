@@ -84,6 +84,10 @@ class Inflater:
             view = u8_view(data)
         except TypeError:
             raise TypeError("data must be an ArrayBuffer or buffer view")
+        if self._container.is_complete and len(view):
+            # the stream (incl. trailer) already ended: an append that
+            # consumes nothing is an error (sd-inflate.ts:130-132)
+            raise ValueError("inflate error: bad input data")
         self._total_in += len(view)
         from ..utils.trace import timed_stage
 
@@ -144,21 +148,37 @@ def inflate(data, dictionary=None) -> np.ndarray:
     if len(input_) < 2:
         raise ValueError("data buffer is too small")
     # many-core hosts: large streams decode via speculative segment
-    # parallelism (checksum-verified); any failure falls back to the
-    # standard path for exact reference error semantics
+    # parallelism (checksum-verified); a codec-level failure falls back
+    # (with a logged warning, never silently) to the standard path for
+    # exact reference error semantics.  TPUZLIB_SPECULATIVE=1 forces the
+    # dispatch (tests); =0 disables it.
     import os
 
     try:
         ncores = len(os.sched_getaffinity(0))
     except AttributeError:  # pragma: no cover
         ncores = os.cpu_count() or 1
-    if ncores >= 8 and len(input_) >= (16 << 20):
-        try:
-            from ..parallel.speculative import inflate_parallel_container
+    spec_env = os.environ.get("TPUZLIB_SPECULATIVE", "")
+    use_spec = (
+        spec_env == "1"
+        or (spec_env != "0" and ncores >= 8 and len(input_) >= (16 << 20))
+    )
+    if use_spec:
+        from ..parallel.speculative import inflate_parallel_container
 
+        try:
             return inflate_parallel_container(input_, dictionary=dictionary)
-        except Exception:
-            pass
+        except ValueError:
+            # real verdicts (checksum mismatch, NEED_DICT surface) carry
+            # reference-parity messages already — propagate them
+            raise
+        except Exception as e:
+            import logging
+
+            logging.getLogger("tpuzlib").warning(
+                "speculative inflate failed (%s: %s); falling back to the "
+                "sequential path", type(e).__name__, e,
+            )
     method, flag = int(input_[0]), int(input_[1])
     starts_with_ident = (
         method == 0x78 and ((method << 8) + flag) % 31 == 0

@@ -10,12 +10,43 @@ adaptivity.
 
 from __future__ import annotations
 
+import os
+import threading
+
 import numpy as np
 
 from .bitsink import BitSink
 from .deflate_blocks import emit_block, emit_block_adaptive, emit_stored
 from .lz77 import tokenize_chunk
 from .tables import WINDOW_SIZE
+
+
+def _ncores() -> int:
+    try:
+        return len(os.sched_getaffinity(0))
+    except AttributeError:  # pragma: no cover
+        return os.cpu_count() or 1
+
+
+_executor = None
+_executor_lock = threading.Lock()
+
+
+def get_executor():
+    """Process-wide persistent thread pool for chunk compression.
+
+    One pool sized to the available cores: threads (and therefore the
+    native layer's per-thread match tables) are reused across pushes —
+    a per-call pool re-paid the table alloc every call and leaked its
+    thread-local storage at every thread exit."""
+    global _executor
+    if _executor is None:
+        with _executor_lock:
+            if _executor is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                _executor = ThreadPoolExecutor(max_workers=_ncores())
+    return _executor
 
 # Symbols per Huffman block.  The reference flushes every 16K symbols
 # (lit_bufsize, deflate.ts:90-95); with optimal package-merge trees,
@@ -65,9 +96,7 @@ class DeflateEngine:
         )
 
     def finish(self) -> np.ndarray:
-        import os
-
-        ncores = len(os.sched_getaffinity(0)) if hasattr(os, "sched_getaffinity") else os.cpu_count() or 1
+        ncores = _ncores()
         if ncores > 1 and len(self.pending) > 4 * MIN_PARALLEL_CHUNK:
             # split across available cores (halo costs 32K per extra chunk,
             # so don't over-shard small inputs)
@@ -95,8 +124,6 @@ class DeflateEngine:
         Huffman-coded per chunk into separate BitSinks and joined at the
         bit level in stream order — the host mirror of the mesh pipeline
         in parallel/pipeline.py."""
-        from concurrent.futures import ThreadPoolExecutor
-
         from .bitsink import BitSink
         from .lz77 import tokenize_chunk
         from .tables import WINDOW_SIZE as W
@@ -117,7 +144,8 @@ class DeflateEngine:
 
             def process_span(idx):
                 """Tokenize + emit one chunk entirely in C (GIL-free), so
-                chunks run truly parallel across threads; each result is
+                chunks run truly parallel across threads (persistent pool, so
+                per-thread native tables are reused); each result is
                 byte-aligned (sync flush / final padding) and concatenates
                 directly."""
                 lo, hi = spans[idx]
@@ -139,8 +167,7 @@ class DeflateEngine:
             if nchunks == 1:
                 pieces = [process_span(0)]
             else:
-                with ThreadPoolExecutor(max_workers=min(8, nchunks)) as ex:
-                    pieces = list(ex.map(process_span, range(nchunks)))
+                pieces = list(get_executor().map(process_span, range(nchunks)))
             self.window = (
                 data[-WINDOW_SIZE:].copy() if len(data) else self.window
             )
@@ -197,13 +224,13 @@ class DeflateEngine:
                 emit_stored(sink, np.empty(0, np.uint8), False)  # sync flush
             return sink.flush(final=is_last)
 
-        with ThreadPoolExecutor(max_workers=min(8, nchunks)) as ex:
-            tapes = list(ex.map(tokenize_span, spans))
-            jobs = [
-                (spans[i], tapes[i], last and i == nchunks - 1)
-                for i in range(nchunks)
-            ]
-            flushed = list(ex.map(emit_span, jobs))
+        ex = get_executor()
+        tapes = list(ex.map(tokenize_span, spans))
+        jobs = [
+            (spans[i], tapes[i], last and i == nchunks - 1)
+            for i in range(nchunks)
+        ]
+        flushed = list(ex.map(emit_span, jobs))
 
         # join chunk bitstreams in order through the engine's sink
         outs = []

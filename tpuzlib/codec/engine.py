@@ -39,8 +39,10 @@ class RawInflateEngine:
         self.stored_remaining = 0
         self.lut_lit = None
         self.lut_dist = None
+        # inflate dictionaries clip to the last 32K-1 bytes (the largest
+        # representable back-reference distance; inflate.ts:489-492)
         self.window = (
-            dictionary[-WINDOW:].astype(np.uint8)
+            dictionary[-(WINDOW - 1):].astype(np.uint8)
             if dictionary is not None and len(dictionary)
             else np.empty(0, dtype=np.uint8)
         )
@@ -103,10 +105,13 @@ class RawInflateEngine:
             if drop:
                 self.buf = self.buf[drop:]
                 self.bit_pos &= 7
-        return out.copy() if len(out) else np.empty(0, dtype=np.uint8)
+        # `out` may view the decode buffer; returning the view avoids an
+        # O(output) copy (the buffer holds at most 32K extra window bytes)
+        return out if len(out) else np.empty(0, dtype=np.uint8)
 
     def set_dictionary(self, dictionary: np.ndarray) -> None:
-        self.window = dictionary[-WINDOW:].astype(np.uint8)
+        # 32K-1 clip: parity with inflate.ts:489-492
+        self.window = dictionary[-(WINDOW - 1):].astype(np.uint8)
 
     def take_leftover(self) -> np.ndarray:
         """Bytes past the final block (container trailer etc.).  Only valid

@@ -228,7 +228,7 @@ class DeviceInflater:
         self.jnp = jnp
         self.window = jnp.zeros(WINDOW_SIZE, dtype=jnp.uint8)
         if dictionary is not None and len(dictionary):
-            d = dictionary[-WINDOW_SIZE:]
+            d = dictionary[-(WINDOW_SIZE - 1):]  # 32K-1 clip (inflate.ts:489)
             w = np.zeros(WINDOW_SIZE, dtype=np.uint8)
             w[WINDOW_SIZE - len(d) :] = d
             self.window = jnp.asarray(w)

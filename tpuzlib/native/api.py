@@ -47,38 +47,18 @@ def inflate_raw(
 
     Returns (out_bytes, consumed_bits, status); status is STATUS_OK,
     STATUS_NEED_MORE (truncated; out contains what was decodable) or
-    STATUS_DATA_ERROR.  Grows the output buffer on overflow."""
-    lib = get_lib()
-    assert lib is not None
-    data = np.ascontiguousarray(data)
+    STATUS_DATA_ERROR.  Output capacity overflows RESUME from the
+    persistent C state (no re-decode) via InflateStream.
+
+    The inflate-side dictionary is clipped to the last 32K-1 bytes
+    (reference /root/reference/src/inflate.ts:489-492)."""
     dict_arr = (
-        np.ascontiguousarray(dictionary[-(1 << 15):])
+        np.ascontiguousarray(dictionary[-((1 << 15) - 1):])
         if dictionary is not None and len(dictionary)
         else np.empty(0, dtype=np.uint8)
     )
-    dict_len = len(dict_arr)
-    cap = max(size_hint or 0, 4 * len(data) + (1 << 16))
-    while True:
-        dst = np.empty(dict_len + cap, dtype=np.uint8)
-        if dict_len:
-            dst[:dict_len] = dict_arr
-        out_len = ctypes.c_int64(0)
-        consumed = ctypes.c_int64(0)
-        status = lib.tz_inflate_raw(
-            _p8(data),
-            np.int64(len(data)),
-            np.int64(start_bit),
-            _p8(dst),
-            np.int64(len(dst)),
-            np.int64(dict_len),
-            ctypes.byref(out_len),
-            ctypes.byref(consumed),
-        )
-        if status == STATUS_OVERFLOW:
-            cap *= 4
-            continue
-        out = dst[dict_len : dict_len + out_len.value]
-        return out, consumed.value, status
+    stream = InflateStream()
+    return stream.push(data, start_bit, dict_arr, size_hint=size_hint)
 
 
 class InflateStream:
@@ -103,30 +83,48 @@ class InflateStream:
         window: np.ndarray,
         size_hint: int | None = None,
     ):
+        """Decode from ``start_bit``; ``window`` preloads lookback context.
+
+        On output-capacity overflow the decode RESUMES from the C state at
+        the overflow bit position with a larger buffer (the already-decoded
+        prefix is kept, never re-decoded — reference streaming-resume
+        contract, infblocks.ts:164-179)."""
         data = np.ascontiguousarray(data)
-        wlen = len(window)
         cap = max(size_hint or 0, 4 * len(data) + (1 << 16))
+        bit = start_bit
+        win = window
+        pieces: list[np.ndarray] = []
         while True:
+            wlen = len(win)
             dst = np.empty(wlen + cap, dtype=np.uint8)
             if wlen:
-                dst[:wlen] = window
+                dst[:wlen] = win
             out_len = ctypes.c_int64(0)
             consumed = ctypes.c_int64(0)
             status = self._lib.tz_inflate_stream(
                 self._ptr,
                 _p8(data),
                 np.int64(len(data)),
-                np.int64(start_bit),
+                np.int64(bit),
                 _p8(dst),
                 np.int64(len(dst)),
                 np.int64(wlen),
                 ctypes.byref(out_len),
                 ctypes.byref(consumed),
             )
+            produced = dst[wlen : wlen + out_len.value]
             if status == STATUS_OVERFLOW:
-                cap *= 4
+                # keep what was decoded, carry the last 32K as window, and
+                # resume mid-block from the C state with a larger buffer
+                pieces.append(produced.copy())
+                win = dst[: wlen + out_len.value][-(1 << 15):].copy()
+                bit = consumed.value
+                cap *= 2
                 continue
-            return dst[wlen : wlen + out_len.value], consumed.value, status
+            if not pieces:
+                return produced, consumed.value, status
+            pieces.append(produced)
+            return np.concatenate(pieces), consumed.value, status
 
 
 def tokenize(data: np.ndarray, ctx_len: int, level: int):

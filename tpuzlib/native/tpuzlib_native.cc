@@ -17,6 +17,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 
 namespace {
 
@@ -125,13 +126,15 @@ int build_lut(const int32_t* lengths, int nsym, int kind, uint32_t* lut,
   return 0;
 }
 
-void fixed_tables(uint32_t* lit, uint32_t* dist, int* lit_bits,
-                  int* dist_bits) {
-  static uint32_t flit[1 << 9];
-  static uint32_t fdist[1 << 5];
-  static int flit_bits = 0, fdist_bits = 0;
-  static bool built = false;
-  if (!built) {
+// Fixed-tree decode tables, built eagerly at load time (a namespace-scope
+// constructor is guaranteed thread-safe; the previous lazy 'static bool
+// built' flag raced when two threads decoded their first fixed block
+// concurrently).
+struct FixedDecodeTables {
+  uint32_t flit[1 << 9];
+  uint32_t fdist[1 << 5];
+  int flit_bits = 0, fdist_bits = 0;
+  FixedDecodeTables() {
     int32_t ll[288];
     for (int i = 0; i < 144; i++) ll[i] = 8;
     for (int i = 144; i < 256; i++) ll[i] = 9;
@@ -141,12 +144,16 @@ void fixed_tables(uint32_t* lit, uint32_t* dist, int* lit_bits,
     int32_t dl[32];
     for (int i = 0; i < 32; i++) dl[i] = 5;
     build_lut(dl, 32, 1, fdist, &fdist_bits);
-    built = true;
   }
-  memcpy(lit, flit, sizeof(flit));
-  memcpy(dist, fdist, sizeof(fdist));
-  *lit_bits = flit_bits;
-  *dist_bits = fdist_bits;
+};
+const FixedDecodeTables g_fixed_dec;
+
+void fixed_tables(uint32_t* lit, uint32_t* dist, int* lit_bits,
+                  int* dist_bits) {
+  memcpy(lit, g_fixed_dec.flit, sizeof(g_fixed_dec.flit));
+  memcpy(dist, g_fixed_dec.fdist, sizeof(g_fixed_dec.fdist));
+  *lit_bits = g_fixed_dec.flit_bits;
+  *dist_bits = g_fixed_dec.fdist_bits;
 }
 
 struct TzState {
@@ -381,9 +388,13 @@ resume_huffman:
         if (in.pos + adv + dnb + deb > in.nbits) goto need_more_symbol;
         int32_t dist = (int32_t)(dent & 0x7FFF) +
                        (int32_t)((w >> (adv + dnb)) & ((1u << deb) - 1));
-        in.pos += adv + dnb + deb;
         if (dist > out) { *out_len = out - dict_len; *consumed_bits = in.pos; return 2; }
-        if (out + length > dst_cap) { *out_len = out - dict_len; *consumed_bits = in.pos; return 3; }
+        if (out + length > dst_cap) {
+          // overflow BEFORE consuming the symbol: callers resume at
+          // consumed_bits with a larger buffer and must re-see this token
+          *out_len = out - dict_len; *consumed_bits = in.pos; return 3;
+        }
+        in.pos += adv + dnb + deb;
         const uint8_t* from = dst + out - dist;
         uint8_t* to = dst + out;
         out += length;
@@ -484,18 +495,22 @@ int64_t tz_deflate_tokenize(const uint8_t* data, int64_t total, int64_t ctx_len,
   // reference's 3-byte chains -> shorter walks for equal quality) plus a
   // single-slot 3-byte last-occurrence table for the close short matches
   // that the TOO_FAR3 rule admits.  Tables persist per thread (grow-only
-  // prev) so repeated chunk calls skip the alloc + first-touch cost.
-  static thread_local int32_t* head = nullptr;
-  static thread_local int32_t* last3 = nullptr;
-  static thread_local int32_t* prev = nullptr;
+  // prev) so repeated chunk calls skip the alloc + first-touch cost;
+  // unique_ptr storage means glibc frees them at thread exit (callers
+  // should still reuse threads to actually amortize).
+  static thread_local std::unique_ptr<int32_t[]> head_tls;
+  static thread_local std::unique_ptr<int32_t[]> last3_tls;
+  static thread_local std::unique_ptr<int32_t[]> prev_tls;
   static thread_local int64_t prev_cap = 0;
-  if (!head) head = new int32_t[HASH_SIZE];
-  if (!last3) last3 = new int32_t[H3_SIZE];
+  if (!head_tls) head_tls.reset(new int32_t[HASH_SIZE]);
+  if (!last3_tls) last3_tls.reset(new int32_t[H3_SIZE]);
   if (total > prev_cap) {
-    delete[] prev;
     prev_cap = total + (total >> 2) + 4096;
-    prev = new int32_t[prev_cap];
+    prev_tls.reset(new int32_t[prev_cap]);
   }
+  int32_t* head = head_tls.get();
+  int32_t* last3 = last3_tls.get();
+  int32_t* prev = prev_tls.get();
   for (int i = 0; i < HASH_SIZE; i++) head[i] = -1;
   for (int i = 0; i < H3_SIZE; i++) last3[i] = -1;
 
@@ -1278,17 +1293,18 @@ int64_t tz_emit_chunk(const int32_t* litlen, const int32_t* dist, int64_t ntok,
       emit_leaf_c(bw, litlen, dist, 0, lfx, dfx, raw, 0, 1);
     }
   } else {
-    // stripe prefix sums (int64) for segment histograms
-    static thread_local int64_t* lf_prefix = nullptr;
-    static thread_local int64_t* df_prefix = nullptr;
+    // stripe prefix sums (int64) for segment histograms; RAII thread_local
+    // so thread exit releases them
+    static thread_local std::unique_ptr<int64_t[]> lf_prefix_tls;
+    static thread_local std::unique_ptr<int64_t[]> df_prefix_tls;
     static thread_local int64_t prefix_cap = 0;
     if (nstripes + 1 > prefix_cap) {
-      delete[] lf_prefix;
-      delete[] df_prefix;
       prefix_cap = nstripes + 1 + 64;
-      lf_prefix = new int64_t[prefix_cap * 286];
-      df_prefix = new int64_t[prefix_cap * 30];
+      lf_prefix_tls.reset(new int64_t[prefix_cap * 286]);
+      df_prefix_tls.reset(new int64_t[prefix_cap * 30]);
     }
+    int64_t* lf_prefix = lf_prefix_tls.get();
+    int64_t* df_prefix = df_prefix_tls.get();
     memset(lf_prefix, 0, 286 * sizeof(int64_t));
     memset(df_prefix, 0, 30 * sizeof(int64_t));
     for (int64_t st = 0; st < nstripes; st++) {
@@ -1377,6 +1393,6 @@ uint32_t tz_crc32(const uint8_t* p, int64_t n, uint32_t seed) {
   return ~c;
 }
 
-int tz_version() { return 4; }
+int tz_version() { return 5; }
 
 }  // extern "C"

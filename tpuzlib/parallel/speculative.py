@@ -269,8 +269,13 @@ def inflate_parallel(
         start, stop = args
         return _tokenize_range(buf, w64, start, stop, avail_bits)
 
-    with ThreadPoolExecutor(max_workers=max_workers) as ex:
-        results = list(ex.map(work, zip(bounds, stops)))
+    if max_workers is None:
+        from ..codec.deflate_engine import get_executor
+
+        results = list(get_executor().map(work, zip(bounds, stops)))
+    else:
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            results = list(ex.map(work, zip(bounds, stops)))
 
     # 3. validate the chain; re-tokenize any mis-speculated gap
     tapes = [results[0]]
@@ -298,7 +303,9 @@ def inflate_parallel(
     litlen = np.concatenate([t[0] for t in tapes])
     dist = np.concatenate([t[1] for t in tapes])
     window = (
-        dictionary[-(1 << 15):].astype(np.uint8)
+        # inflate dictionaries clip to the last 32K-1 bytes
+        # (inflate.ts:489-492)
+        dictionary[-((1 << 15) - 1):].astype(np.uint8)
         if dictionary is not None and len(dictionary)
         else np.empty(0, np.uint8)
     )
@@ -334,7 +341,20 @@ def inflate_parallel_container(data, n_segments=None, max_workers=None,
         return out
     if (b0 & 0x0F) == 8 and (b0 >> 4) <= 7 and ((b0 << 8) + b1) % 31 == 0:
         hdr = 2
-        if b1 & 0x20:  # FDICT
+        if b1 & 0x20:  # FDICT: verify DICTID exactly like the standard
+            # path (inflate.ts:475-503) — the parallel dispatch must not
+            # change NEED_DICT semantics with core count
+            if len(view) < 6:
+                raise ValueError("data buffer is too small")
+            import struct as _s
+
+            dict_id = _s.unpack(">I", view[2:6].tobytes())[0]
+            if dictionary is None:
+                raise ValueError("Custom dictionary required for this data")
+            from ..api.checksums import adler32 as _adler
+
+            if _adler(np.ascontiguousarray(u8_view(dictionary))) != dict_id:
+                raise ValueError("Custom dictionary is not valid for this data")
             hdr = 6
         payload = view[hdr:-4]
         import struct
