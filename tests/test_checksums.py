@@ -107,3 +107,17 @@ def test_crc32_pallas_kernel(rng):
         d = rng.integers(0, 256, n, dtype=np.uint8)
         assert crc32_device_pallas(d) == zlib.crc32(d.tobytes())
         assert crc32_device_pallas(d, seed=77) == zlib.crc32(d.tobytes(), 77)
+
+
+def test_adler32_pallas_kernel(rng):
+    """Fused nibble-split+matmul Pallas kernel (interpret mode on CPU)
+    must agree with zlib across block-boundary sizes and seeds."""
+    from tpuzlib.kernels.adler32_pallas import BLOCK, TILE, adler32_device_pallas
+
+    for n in (BLOCK * TILE, BLOCK * TILE * 2 + 12345, 100, BLOCK + 1):
+        d = rng.integers(0, 256, n, dtype=np.uint8)
+        assert adler32_device_pallas(d) == zlib.adler32(d.tobytes())
+        seed = zlib.adler32(b"prefix bytes")
+        assert adler32_device_pallas(d, seed=seed) == zlib.adler32(
+            d.tobytes(), seed
+        )

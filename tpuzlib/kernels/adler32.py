@@ -129,12 +129,21 @@ def _get_blocks_fn(block: int):
 
 
 def adler32_device(data, seed: int = 1, block: int = DEVICE_BLOCK) -> int:
+    """Adler-32 on the accelerator.
+
+    On TPU the fused Pallas kernel (adler32_pallas) is the default; the
+    jnp path below is the algorithmic reference and the CPU path."""
+    import jax
     import jax.numpy as jnp
 
     n = int(data.shape[0])
     s1_0, s2_0 = _split(seed)
     if n == 0:
         return ((s2_0 << 16) | s1_0) & _MASK32
+    if block == DEVICE_BLOCK and jax.default_backend() == "tpu":
+        from .adler32_pallas import adler32_device_pallas
+
+        return adler32_device_pallas(data, seed)
     pad = (-n) % block
     if isinstance(data, np.ndarray):
         padded = np.concatenate([np.zeros(pad, dtype=np.uint8), data])

@@ -211,13 +211,22 @@ def _get_blocks_fn(block: int):
 def crc32_device(data, seed: int = 0, block: int = DEVICE_BLOCK) -> int:
     """CRC-32 with the per-block bit-matmuls on the accelerator.
 
+    On TPU the fused Pallas kernel (crc32_pallas) is the default — it
+    keeps the 8x bit expansion in VMEM instead of HBM.  The jnp path
+    below remains the algorithmic reference and the CPU-backend path.
+
     ``data`` may be a numpy array or a device array; the O(n/B) combine
     runs on host."""
+    import jax
     import jax.numpy as jnp
 
     n = int(data.shape[0])
     if n == 0:
         return int(seed) & _MASK32
+    if block == DEVICE_BLOCK and jax.default_backend() == "tpu":
+        from .crc32_pallas import crc32_device_pallas
+
+        return crc32_device_pallas(data, seed)
     pad = (-n) % block
     if isinstance(data, np.ndarray):
         padded = np.concatenate([np.zeros(pad, dtype=np.uint8), data])
