@@ -140,6 +140,9 @@ class Deflater:
 
 def deflate(data, options: DeflaterOptions | None = None, **kwargs) -> np.ndarray:
     """One-shot compress (parity with sd-deflate.ts:263-274)."""
+    from ..utils.mem import tune_malloc
+
+    tune_malloc()  # large codec buffers must not be munmap'd per call
     try:
         view = u8_view(data)
     except TypeError:

@@ -144,6 +144,9 @@ def inflate(data, dictionary=None) -> np.ndarray:
 
     Parity with sd-inflate.ts:189-228 (incl. the detection rule: zlib only
     when the first byte is exactly 0x78)."""
+    from ..utils.mem import tune_malloc
+
+    tune_malloc()  # large codec buffers must not be munmap'd per call
     input_ = u8_view(data)
     if len(input_) < 2:
         raise ValueError("data buffer is too small")

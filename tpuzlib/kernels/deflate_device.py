@@ -270,12 +270,65 @@ def _pack_key(jnp, screen, dist):
     ) | (jnp.uint32(0xFFFF) - dist.astype(jnp.uint32))
 
 
+def _ctz_bytes(jax, jnp, x):
+    """Count of trailing zero BYTES of a u32 (4 when x == 0)."""
+    lsb = x & (jnp.uint32(0) - x)
+    f = lsb.astype(jnp.float32)
+    e = (jax.lax.bitcast_convert_type(f, jnp.uint32) >> jnp.uint32(23)).astype(
+        jnp.int32
+    ) - 127
+    return jnp.where(x == 0, 4, e >> 3)
+
+
+def near_match_dense(jax, jnp, w32, w32hi, min_cand, end_valid, nd=128):
+    """Exhaustive near-window search: best match among distances 1..nd.
+
+    Pure shifted compares — no sort, no gather, no scatter.  Finds every
+    >=3-byte match in the TOO_FAR window exactly (the reference reaches
+    these via its 3-byte hash chains, deflate.ts:1079-1085); screen is
+    capped at 8 like the probe path.  Returns packed best keys."""
+    total = w32.shape[0]
+    pos = jnp.arange(total, dtype=jnp.int32)
+    lim = jnp.clip(end_valid - pos, 0, 8)
+    best = jnp.zeros(total, dtype=jnp.uint32)
+    zpad = jnp.zeros(nd, dtype=jnp.uint32)
+    w32p = jnp.concatenate([zpad, w32])
+    w32hp = jnp.concatenate([zpad, w32hi])
+    for d in range(1, nd + 1):
+        lo = jax.lax.dynamic_slice(w32p, (nd - d,), (total,))
+        hi = jax.lax.dynamic_slice(w32hp, (nd - d,), (total,))
+        xl = w32 ^ lo
+        xh = w32hi ^ hi
+        sc = jnp.where(xl == 0, 4 + _ctz_bytes(jax, jnp, xh), _ctz_bytes(jax, jnp, xl))
+        sc = jnp.minimum(sc, lim)
+        ok = pos - d >= min_cand
+        pk = jnp.where(ok & (sc >= MIN_MATCH), _pack_key(jnp, sc, jnp.full_like(pos, d)), jnp.uint32(0))
+        best = jnp.maximum(best, pk)
+    return best
+
+
+# v2 probe schedule: the dense near pass replaces 3-byte probes (and
+# short-distance 4-byte work), so the sorted probes keep only the far
+# search.  (hash_bytes, k) per level; near_nd is the dense window.
+LEVELS_V2 = {
+    1: dict(near=32, probes=((4, 4),)),
+    2: dict(near=64, probes=((4, 6),)),
+    3: dict(near=64, probes=((4, 10),)),
+    4: dict(near=128, probes=((4, 8), (6, 4))),
+    5: dict(near=128, probes=((4, 10), (6, 6))),
+    6: dict(near=128, probes=((4, 12), (6, 8))),
+    7: dict(near=128, probes=((4, 20), (6, 12))),
+    8: dict(near=128, probes=((4, 32), (6, 24), (8, 12))),
+    9: dict(near=128, probes=((4, 64), (6, 48), (8, 24))),
+}
+
+
 def match_candidates_v2(jax, jnp, data, ctx_valid, n_valid, level, ctx=CTX):
     """Sort-carried candidate search.
 
     Returns (screen, dist) over ALL positions (ctx + new): verified
     common-prefix length capped at 8 and the matched distance."""
-    params = LEVELS[level]
+    params = LEVELS_V2[level]
     total = data.shape[0]
     w32 = _build_w32(jnp, data)
     w32hi = jnp.concatenate([w32[4:], jnp.zeros(4, dtype=jnp.uint32)])
@@ -283,8 +336,10 @@ def match_candidates_v2(jax, jnp, data, ctx_valid, n_valid, level, ctx=CTX):
     end_valid = ctx + n_valid
     min_cand = ctx - ctx_valid
 
-    best = jnp.zeros(total, dtype=jnp.uint32)
-    for hash_bytes, k in params.probes:
+    best = near_match_dense(
+        jax, jnp, w32, w32hi, min_cand, end_valid, nd=params["near"]
+    )
+    for hash_bytes, k in params["probes"]:
         bits = 16 if hash_bytes <= 4 else 18
         h = _hash(jnp, w32, w32hi, hash_bytes, bits).astype(jnp.int32)
         sh, sp, slo, shi = jax.lax.sort(
@@ -425,7 +480,12 @@ def match_and_parse_v2(
     eff = jnp.where(effT >= MIN_MATCH, effT, 0)
 
     step = jnp.where(eff >= MIN_MATCH, eff, 1)
-    parse_fn = parse or segment_parse_xla
+    if parse is None:
+        if jax.default_backend() == "tpu" and seg == SEG:
+            from .parse_pallas import segment_parse_pallas as parse
+        else:
+            parse = segment_parse_xla
+    parse_fn = parse
     starts = parse_fn(jax, jnp, step, n_valid, seg=seg)
     take = starts & (eff >= MIN_MATCH)
     litlen = jnp.where(take, eff, data[ctx:].astype(jnp.int32))
@@ -575,6 +635,123 @@ def pack_block_tables(jax, jnp, is_token, litlen, dist, tables):
     return words, total_bits
 
 
+def _floor_log2(jax, jnp, v):
+    """floor(log2(v)) for int32 v >= 1 (exact for v < 2^24)."""
+    f = v.astype(jnp.float32)
+    return (
+        jax.lax.bitcast_convert_type(f, jnp.uint32) >> jnp.uint32(23)
+    ).astype(jnp.int32) - 127
+
+
+def sym_fields_v2(jax, jnp, litlen, dist, is_match):
+    """Arithmetic litlen/dist symbol mapping (no 32K-table gathers).
+
+    Returns (lsym, lext_bits, lext_val, dsym, dext_bits, dext_val) —
+    the RFC 1951 code-point decomposition computed elementwise via the
+    float-exponent trick (exact: all operands < 2^16)."""
+    l = jnp.clip(litlen - 3, 0, 255)
+    e = _floor_log2(jax, jnp, jnp.maximum(l, 1))
+    sub = (l >> jnp.maximum(e - 2, 0)) & 3
+    lsym_m = jnp.where(
+        l < 8, 257 + l, jnp.where(l == 255, 285, 253 + 4 * e + sub)
+    )
+    lsym = jnp.where(is_match, lsym_m, litlen)
+    lext = jnp.where((l < 8) | (l == 255), 0, jnp.maximum(e - 2, 0))
+    lext = jnp.where(is_match, lext, 0)
+    lext_val = jnp.where(is_match, l & ((1 << lext) - 1), 0)
+
+    v = jnp.clip(dist - 1, 0, WINDOW_SIZE - 1)
+    ed = _floor_log2(jax, jnp, jnp.maximum(v, 1))
+    dsym = jnp.where(v < 4, v, 2 * ed + ((v >> jnp.maximum(ed - 1, 0)) & 1))
+    dext = jnp.where((v < 4) | ~is_match, 0, jnp.maximum(ed - 1, 0))
+    dext_val = jnp.where(is_match, v & ((1 << dext) - 1), 0)
+    return lsym, lext, lext_val, dsym, dext, dext_val
+
+
+def pack_block_tables_v2(jax, jnp, is_token, litlen, dist, tables):
+    """pack_block_tables with arithmetic symbol mapping and combined
+    (code | bits<<24) tables: two gathers per position instead of six.
+
+    tables = (ll i32[288], lcodes u32[288], dl i32[30], dcodes u32[30])."""
+    ll, lcodes, dl, dcodes = tables
+    lct = lcodes | (ll.astype(jnp.uint32) << jnp.uint32(24))
+    dct = dcodes | (dl.astype(jnp.uint32) << jnp.uint32(24))
+
+    n = litlen.shape[0]
+    is_match = dist > 0
+    lsym, lext, lext_val, dsym, dext, dext_val = sym_fields_v2(
+        jax, jnp, litlen, dist, is_match
+    )
+
+    le = lct[jnp.clip(lsym, 0, 287)]
+    de = jnp.where(is_match, dct[dsym], jnp.uint32(0))
+    lcode = le & jnp.uint32(0xFFFFFF)
+    lbits = (le >> jnp.uint32(24)).astype(jnp.int32)
+    dcode = de & jnp.uint32(0xFFFFFF)
+    dbits = (de >> jnp.uint32(24)).astype(jnp.int32)
+
+    def emit2(lo, hi, nb, val, bits):
+        val = val.astype(jnp.uint32)
+        sh = nb
+        shc = jnp.clip(sh, 0, 31).astype(jnp.uint32)
+        in_lo = (jnp.where(sh < 32, val, 0) << shc).astype(jnp.uint32)
+        spill = jnp.where((sh > 0) & (sh < 32), val >> (jnp.uint32(32) - shc), 0)
+        in_hi = jnp.where(
+            sh >= 32, val << jnp.clip(sh - 32, 0, 31).astype(jnp.uint32), spill
+        )
+        return lo | in_lo, (hi | in_hi).astype(jnp.uint32), nb + bits
+
+    lo = lcode
+    hi = jnp.zeros(n, dtype=jnp.uint32)
+    nb = lbits
+    lo, hi, nb = emit2(lo, hi, nb, lext_val, lext)
+    lo, hi, nb = emit2(lo, hi, nb, dcode, dbits)
+    lo, hi, nb = emit2(lo, hi, nb, dext_val, dext)
+
+    nb = jnp.where(is_token, nb, 0)
+    lo = jnp.where(is_token, lo, jnp.uint32(0))
+    hi = jnp.where(is_token, hi, jnp.uint32(0))
+
+    offsets = jnp.cumsum(nb) - nb
+    body_end = jnp.sum(nb)
+
+    nwords = -(-(n * 48) // 32) + 4
+    words = jnp.zeros(nwords, dtype=jnp.uint32)
+    idx = offsets >> 5
+    sh = (offsets & 31).astype(jnp.uint32)
+    w0 = (lo << sh).astype(jnp.uint32)
+    w1 = (jnp.where(sh > 0, lo >> (jnp.uint32(32) - sh), 0) | (hi << sh)).astype(
+        jnp.uint32
+    )
+    w2 = jnp.where(sh > 0, hi >> (jnp.uint32(32) - sh), jnp.uint32(0))
+    words = words.at[idx].add(w0)
+    words = words.at[idx + 1].add(w1)
+    words = words.at[idx + 2].add(w2)
+
+    eidx = body_end >> 5
+    esh = (body_end & 31).astype(jnp.uint32)
+    ecode = lcodes[256]
+    words = words.at[eidx].add((ecode << esh).astype(jnp.uint32))
+    words = words.at[eidx + 1].add(
+        jnp.where(esh > 0, ecode >> (jnp.uint32(32) - esh), jnp.uint32(0))
+    )
+    total_bits = body_end + ll[256]
+    return words, total_bits
+
+
+def histograms_v2(jax, jnp, is_token, litlen, dist):
+    """(lit_freq[286], dist_freq[30]) from a masked tape via the same
+    arithmetic symbol mapping as pack_block_tables_v2."""
+    is_match = dist > 0
+    lsym, _, _, dsym, _, _ = sym_fields_v2(jax, jnp, litlen, dist, is_match)
+    w = is_token.astype(jnp.int32)
+    lit_freq = jnp.zeros(286, jnp.int32).at[jnp.clip(lsym, 0, 285)].add(w)
+    dist_freq = jnp.zeros(30, jnp.int32).at[dsym].add(
+        (is_token & is_match).astype(jnp.int32)
+    )
+    return lit_freq, dist_freq
+
+
 def make_encode_chunk(level: int, n: int):
     """Build the jitted chunk encoder for fixed new-bytes size n.
 
@@ -673,6 +850,157 @@ def make_encode_chunk_dynamic(level: int, n: int, ctx: int = CTX):
         )
 
     return encode
+
+
+def make_encode_chunk_dynamic_v2(level: int, n: int, ctx: int = CTX):
+    """v2 fully-jittable dynamic-Huffman chunk encoder (round-2 kernel):
+    gather-light matcher, Pallas segment parse on TPU, arithmetic symbol
+    mapping, device package-merge trees — one jit program, zero host
+    sync.  encode(data[ctx+n] u8, ctx_valid, n_valid, last)
+      -> (words u32[...], total_bits i32)"""
+    jax, jnp = _jnp()
+    from .huffman_device import (
+        canonical_codes_device,
+        dynamic_header_device,
+        package_merge_device,
+    )
+
+    @jax.jit
+    def encode(data, ctx_valid, n_valid, last):
+        is_token, litlen, dist = match_and_parse_v2(
+            jax, jnp, data, ctx_valid, n_valid, level, ctx=ctx
+        )
+        lit_freq, dist_freq = histograms_v2(jax, jnp, is_token, litlen, dist)
+        lit_freq = lit_freq.at[256].add(1)  # EOB
+        ll = package_merge_device(jax, jnp, lit_freq, 15)
+        dl = package_merge_device(jax, jnp, dist_freq, 15)
+        lcodes = canonical_codes_device(jax, jnp, ll)
+        dcodes = canonical_codes_device(jax, jnp, dl)
+        hdr_words, hdr_bits = dynamic_header_device(jax, jnp, ll, dl)
+        body_words, body_bits = pack_block_tables_v2(
+            jax, jnp, is_token, litlen, dist,
+            (jnp.concatenate([ll, jnp.zeros(2, jnp.int32)]),
+             jnp.concatenate([lcodes, jnp.zeros(2, jnp.uint32)]),
+             dl, dcodes),
+        )
+        head3 = jnp.array([4], jnp.uint32) | last.astype(jnp.uint32)
+        out_words = body_words.shape[0] + hdr_words.shape[0] + 4
+        return _bit_concat(
+            jnp,
+            [
+                (head3, jnp.int32(3)),
+                (hdr_words, hdr_bits),
+                (body_words, body_bits),
+            ],
+            out_words,
+        )
+
+    return encode
+
+
+def make_encode_batch_v2(level: int, chunk: int, batch: int, out_words: int):
+    """Batched v2 dynamic encoder: one dispatch encodes `batch` chunks
+    end-to-end on device (trees included), outputs trimmed words."""
+    jax, jnp = _jnp()
+    enc = None
+
+    def one(data, ctx_valid, n_valid, last):
+        from .huffman_device import (
+            canonical_codes_device,
+            dynamic_header_device,
+            package_merge_device,
+        )
+
+        is_token, litlen, dist = match_and_parse_v2(
+            jax, jnp, data, ctx_valid, n_valid, level
+        )
+        lit_freq, dist_freq = histograms_v2(jax, jnp, is_token, litlen, dist)
+        lit_freq = lit_freq.at[256].add(1)
+        ll = package_merge_device(jax, jnp, lit_freq, 15)
+        dl = package_merge_device(jax, jnp, dist_freq, 15)
+        lcodes = canonical_codes_device(jax, jnp, ll)
+        dcodes = canonical_codes_device(jax, jnp, dl)
+        hdr_words, hdr_bits = dynamic_header_device(jax, jnp, ll, dl)
+        body_words, body_bits = pack_block_tables_v2(
+            jax, jnp, is_token, litlen, dist,
+            (jnp.concatenate([ll, jnp.zeros(2, jnp.int32)]),
+             jnp.concatenate([lcodes, jnp.zeros(2, jnp.uint32)]),
+             dl, dcodes),
+        )
+        head3 = jnp.array([4], jnp.uint32) | last.astype(jnp.uint32)
+        words, total_bits = _bit_concat(
+            jnp,
+            [
+                (head3, jnp.int32(3)),
+                (hdr_words, hdr_bits),
+                (body_words, body_bits),
+            ],
+            body_words.shape[0] + hdr_words.shape[0] + 4,
+        )
+        return words[:out_words], total_bits
+
+    return jax.jit(jax.vmap(one))
+
+
+def deflate_device_v2(
+    data: np.ndarray,
+    level: int = 6,
+    chunk: int = 1 << 18,
+    batch: int = 8,
+):
+    """Round-2 device deflate: batched fully-on-device dynamic encoding.
+
+    One dispatch per `batch` chunks; the only host work is the final
+    bit-level join.  Returns raw DEFLATE bytes."""
+    import jax.numpy as jnp
+
+    from ..codec.bitsink import BitSink
+
+    n = len(data)
+    nchunks = max(1, -(-n // chunk))
+    batch = min(batch, nchunks)
+    out_words = min(chunk + 4, (chunk * 10) // 32 + 64)
+    enc = _get(
+        ("encb2", level, chunk, batch, out_words),
+        lambda: make_encode_batch_v2(level, chunk, batch, out_words),
+    )
+
+    sink = BitSink()
+    results = []
+    for g in range(0, nchunks, batch):
+        group = list(range(g, min(g + batch, nchunks)))
+        bufs = np.zeros((batch, CTX + chunk), dtype=np.uint8)
+        ctx_valids = np.zeros(batch, dtype=np.int32)
+        n_valids = np.zeros(batch, dtype=np.int32)
+        lasts = np.zeros(batch, dtype=np.int32)
+        for bi, ci in enumerate(group):
+            lo, hi = ci * chunk, min(ci * chunk + chunk, n)
+            ctx_lo = max(0, lo - CTX)
+            ctxb = data[ctx_lo:lo]
+            if len(ctxb):
+                bufs[bi, CTX - len(ctxb) : CTX] = ctxb
+            bufs[bi, CTX : CTX + hi - lo] = data[lo:hi]
+            ctx_valids[bi] = len(ctxb)
+            n_valids[bi] = hi - lo
+            lasts[bi] = 1 if ci == nchunks - 1 else 0
+        results.append(
+            (
+                group,
+                enc(
+                    jnp.asarray(bufs),
+                    jnp.asarray(ctx_valids),
+                    jnp.asarray(n_valids),
+                    jnp.asarray(lasts),
+                ),
+            )
+        )
+    for group, (words, total_bits) in results:
+        words = np.asarray(words)
+        total_bits = np.asarray(total_bits)
+        for bi, ci in enumerate(group):
+            _push_words(sink, words[bi], int(total_bits[bi]))
+    out, _, _ = sink.flush(final=True)
+    return out
 
 
 def make_tokenize_chunk(level: int, n: int):

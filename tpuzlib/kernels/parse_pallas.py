@@ -1,0 +1,127 @@
+"""Pallas TPU kernel for LZ77 token extraction (the greedy-parse walk).
+
+The parse is the serial heart of DEFLATE: token k+1 starts where token k
+ends.  The v2 matcher forces a token break every SEG=1024 bytes, so
+chains are segment-local; this kernel extracts every segment's chain in
+O(log SEG) *lane-local* gather rounds, entirely in VMEM (measured
+0.22 ns/elem for an in-kernel take_along_axis vs 7 ns/elem for an XLA
+HBM gather — the whole reason this kernel exists).
+
+Three phases over a (8*NSEG, 128) sub-major layout (row = sub*NSEG+seg):
+
+  1. within-row pointer doubling: a_k[row, l] = row-relative offset
+     after up to 2^k jumps (stops once >= 128), plus jump counts c_k —
+     7 rounds of take_along_axis along lanes;
+  2. row composition: the true chain's entry offset into each of the 8
+     rows of a segment, 8 tiny sequential row steps;
+  3. membership by rank replay: lane l is a token start iff jumping
+     (T[entry] - T[l]) times from the row's entry lane lands exactly on
+     l — 7 more take_along rounds over the saved a_k tables.
+
+Capability parity: replaces the reference's serial token loop
+(deflate.ts:1054-1182 deflate_slow emission order) for the device path;
+the forced segment break is the documented +0.18% ratio trade.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+SEG = 1024
+SUBS = 8  # rows per segment (SEG // 128)
+
+
+@functools.lru_cache()
+def _kernel_fn(nseg: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = SUBS * nseg
+
+    def kernel(step_ref, out_ref):
+        step = step_ref[:]  # (rows, 128) int32 >= 1, sub-major
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+
+        # --- phase 1: within-row doubling --------------------------------
+        a = lane + step  # row-relative offset after one jump
+        c = jnp.ones((rows, 128), jnp.int32)
+        a_tabs = []
+        for _ in range(7):
+            a_tabs.append(a)
+            idx = jnp.minimum(a, 127)
+            a_nxt = jnp.take_along_axis(a, idx, axis=1)
+            c_nxt = jnp.take_along_axis(c, idx, axis=1)
+            in_row = a < 128
+            # continuing from lane a: offsets compose additively? no —
+            # a_nxt is already row-relative from the row start, so the
+            # composed offset is just a_nxt (we jumped from lane a).
+            a = jnp.where(in_row, a_nxt, a)
+            c = jnp.where(in_row, c + c_nxt, c)
+
+        # --- phase 2: row composition (true chain entry per row) ---------
+        # e[seg] = absolute segment offset at which the chain enters
+        # "row band" r; advance band by band.
+        e = jnp.zeros((nseg, 1), jnp.int32)
+        entry_lanes = []
+        for r in range(SUBS):
+            base = r * 128
+            in_band = (e >= base) & (e < base + 128)
+            el = jnp.clip(e - base, 0, 127)
+            exit_rel = jnp.take_along_axis(a[r * nseg : (r + 1) * nseg, :], el, axis=1)
+            e_next = jnp.where(in_band, base + exit_rel, e)
+            entry_lanes.append(jnp.where(in_band, el, -1))
+            e = e_next
+
+        # (rows, 1) entry lane per row, sub-major stacking
+        el_rows = jnp.concatenate(entry_lanes, axis=0)
+
+        # --- phase 3: membership by rank replay --------------------------
+        T = c  # jumps-to-exit per lane
+        el_c = jnp.clip(el_rows, 0, 127)
+        T_entry = jnp.take_along_axis(T, el_c, axis=1)  # (rows, 1)
+        k = T_entry - T  # jumps from entry to reach l (if on chain)
+        valid = (el_rows >= 0) & (k >= 0)
+        p = jnp.broadcast_to(el_c, (rows, 128))
+        for r in range(7):
+            idx = jnp.minimum(p, 127)
+            p_nxt = jnp.take_along_axis(a_tabs[r], idx, axis=1)
+            take = ((k >> r) & 1) == 1
+            p = jnp.where(take & (p < 128), p_nxt, jnp.where(take, 128, p))
+        member = valid & (p == lane)
+        out_ref[:] = member.astype(jnp.int32)
+
+    def run(step_sm):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(step_sm)
+
+    return run
+
+
+def segment_parse_pallas(jax, jnp, step, n_valid, seg=SEG):
+    """Token-start mask from a step tape with forced breaks every `seg`.
+
+    Drop-in for deflate_device.segment_parse_xla (same contract): the
+    caller guarantees step never crosses a segment boundary."""
+    assert seg == SEG, "kernel is specialized to SEG=1024"
+    n = step.shape[0]
+    nseg = -(-n // seg)
+    pad = nseg * seg - n
+    stepp = jnp.pad(step, (0, pad), constant_values=1)
+    # clip steps so jumps stay inside the segment even in the pad region
+    t = jnp.arange(nseg * seg, dtype=jnp.int32) % seg
+    stepp = jnp.minimum(stepp, seg - t)
+    # (nseg, 8, 128) -> sub-major (8, nseg, 128) -> (8*nseg, 128)
+    sm = stepp.reshape(nseg, SUBS, 128).transpose(1, 0, 2).reshape(SUBS * nseg, 128)
+    interpret = jax.default_backend() != "tpu"
+    member = _kernel_fn(nseg, interpret)(sm)
+    member = member.reshape(SUBS, nseg, 128).transpose(1, 0, 2).reshape(nseg * seg)
+    return member[:n].astype(bool) & (jnp.arange(n) < n_valid)

@@ -17,7 +17,7 @@ NATIVE_LEVELS = {
     3: (32, 0, 64, 0),
     4: (32, 8, 64, 1),
     5: (64, 16, 128, 1),
-    6: (96, 32, 258, 1),
+    6: (48, 24, 96, 1),
     7: (512, 64, 258, 1),
     8: (1024, 258, 258, 1),
     9: (4096, 258, 258, 1),

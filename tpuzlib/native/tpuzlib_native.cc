@@ -482,7 +482,7 @@ int64_t tz_deflate_tokenize(const uint8_t* data, int64_t total, int64_t ctx_len,
                             int32_t* out_litlen, int32_t* out_dist,
                             int32_t* lit_freq, int32_t* dist_freq,
                             int64_t* stripe_out_end, int64_t stripe_tokens) {
-  constexpr int HASH_BITS = 16;
+  constexpr int HASH_BITS = 17;
   constexpr int HASH_SIZE = 1 << HASH_BITS;
   constexpr int H3_BITS = 14;
   constexpr int H3_SIZE = 1 << H3_BITS;
@@ -544,10 +544,18 @@ int64_t tz_deflate_tokenize(const uint8_t* data, int64_t total, int64_t ctx_len,
     if (min_pos < 0) min_pos = 0;
     int32_t cand = first_cand;
     const uint8_t* cur = data + i;
+    uint32_t v0;
+    memcpy(&v0, cur, 4);
     while (cand >= min_pos && chain_budget-- > 0) {
       if (cand >= i) { cand = prev[cand]; continue; }
       const uint8_t* c = data + cand;
+      // two cheap rejects: the byte that would improve `best`, then the
+      // first word (16-bit hash buckets hold ~8 distinct 4-grams, so
+      // most chain entries are bucket collisions, not matches)
       if (c[best] == cur[best]) {
+        uint32_t w0;
+        memcpy(&w0, c, 4);
+        if (w0 != v0) { cand = prev[cand]; continue; }
         int32_t len = 0;
         while (len + 8 <= limit) {
           uint64_t a, b;
