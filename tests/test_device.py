@@ -211,3 +211,41 @@ def test_sharded_deflate_odd_device_counts(ndev):
     assert zlib.decompress(bytes(out)) == data.tobytes()
     assert adler == zlib.adler32(data.tobytes())
     assert crc == zlib.crc32(data.tobytes())
+
+
+def test_sharded_deflate_arbitrary_lengths():
+    """v2 sharded path: any input length; padding never reaches output
+    and checksums cover exactly the valid bytes."""
+    import zlib
+
+    from tpuzlib.parallel import make_mesh, sharded_deflate
+
+    mesh = make_mesh(8, platform="cpu")
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 40, 1 << 16, dtype=np.uint8)
+    for n in (50000, 12345, 63, 8 * 4096 - 1, 40000):
+        data = np.ascontiguousarray(base[:n])
+        out, adler, crc = sharded_deflate(data, mesh, level=6)
+        dec = zlib.decompress(bytes(out))
+        assert dec == data.tobytes()
+        assert adler == zlib.adler32(data.tobytes())
+        assert crc == zlib.crc32(data.tobytes())
+
+
+def test_sharded_deflate_dynamic_beats_static():
+    """Dynamic-tree mesh blocks must compress text tighter than the
+    static-tree path."""
+    from tpuzlib.parallel import make_mesh, sharded_deflate
+
+    mesh = make_mesh(4, platform="cpu")
+    text = np.frombuffer(
+        open("/root/reference/test/paradiselost.txt", "rb").read()[: 1 << 16],
+        np.uint8,
+    )
+    out_dyn, _, _ = sharded_deflate(text, mesh, level=6, dynamic=True)
+    out_sta, _, _ = sharded_deflate(text, mesh, level=6, dynamic=False)
+    import zlib
+
+    assert zlib.decompress(bytes(out_dyn)) == text.tobytes()
+    assert zlib.decompress(bytes(out_sta)) == text.tobytes()
+    assert len(out_dyn) < len(out_sta)

@@ -27,29 +27,47 @@ from ..kernels import crc32 as crc_k
 from ..kernels.adler32 import MOD
 from ..kernels.deflate_device import (
     match_and_parse,
+    match_and_parse_v2,
+    histograms_v2,
+    pack_block_tables_v2,
     pack_static_block,
+    _bit_concat,
 )
 
 
-def _shard_shift_matrix_bits(shard_len: int, ndev: int) -> np.ndarray:
+def _shard_shift_matrix_bits(shard_len: int, ndev: int, n: int | None = None) -> np.ndarray:
     """(ndev, 32, 32) int32: bit matrix of A^(suffix_bytes) per shard.
 
-    Shard i's raw CRC form must be shifted past the (ndev-1-i) shards
-    that follow it."""
+    Shard i's raw CRC form must be shifted past the VALID bytes that
+    follow it (n = total valid length; defaults to the full padded
+    extent for back-compat)."""
+    if n is None:
+        n = shard_len * ndev
     mats = np.zeros((ndev, 32, 32), dtype=np.int32)
     for i in range(ndev):
-        cols = crc_k.shift_matrix(shard_len * (ndev - 1 - i))  # packed u32 cols
+        suffix = max(n - (i + 1) * shard_len, 0)
+        cols = crc_k.shift_matrix(suffix)  # packed u32 cols
         bits = ((cols[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1)
         # bits[c, r] = bit r of column c; out_bit[r] = XOR_c in_bit[c]*bits[c,r]
         mats[i] = bits.astype(np.int32)
     return mats
 
 
-def build_sharded_deflate(mesh, shard_len: int, level: int = 6, ctx: int | None = None):
+def build_sharded_deflate(
+    mesh, shard_len: int, level: int = 6, ctx: int | None = None,
+    dynamic: bool = False,
+):
     """Jitted SPMD deflate step over `mesh` ("shards" axis).
 
-    Input: (ndev * shard_len,) uint8.  Returns per-shard packed words,
-    bit counts, and stream-global adler32 and crc32 (replicated scalars).
+    Input: (ndev * shard_len,) uint8 (zero-padded past the valid length)
+    plus the valid length n.  Returns per-shard packed words, bit counts,
+    and stream-global adler32 and crc32 (replicated scalars).
+
+    dynamic=True emits one dynamic-Huffman block per shard with the v2
+    gather-light matcher and on-device package-merge trees; dynamic=False
+    keeps the static-tree v1 path.  Checksums cover only valid bytes
+    (padding is rolled to the shard front, where zeros are free for both
+    adler's end-weighted sums and the CRC linear form).
     """
     import jax
     import jax.numpy as jnp
@@ -60,18 +78,15 @@ def build_sharded_deflate(mesh, shard_len: int, level: int = 6, ctx: int | None 
     if ctx is None:
         ctx = min(1 << 15, shard_len)
     perm = [(i, (i + 1) % ndev) for i in range(ndev)]
-    shift_bits = jnp.asarray(_shard_shift_matrix_bits(shard_len, ndev))
     crc_block = 256 if shard_len % 256 == 0 else 64
     assert shard_len % crc_block == 0, "shard_len must be a multiple of 64"
     nb_blocks = shard_len // crc_block
-    assert nb_blocks & (nb_blocks - 1) == 0, (
-        "shard_len/%d must be a power of two for the local CRC tree" % crc_block
-    )
     m_bits = jnp.asarray(crc_k.block_matrix_bits(crc_block))  # (8B, 32) int8
 
     def local_crc_form(shard):
         """Raw CRC linear form L(shard) via bit-matmul + local log-tree."""
         nb = shard.shape[0] // crc_block
+        npow = 1 << max(0, (nb - 1).bit_length())
         blocks = shard.reshape(nb, crc_block)
         shifts = jnp.arange(8, dtype=jnp.uint8)
         bits = ((blocks[:, :, None] >> shifts) & jnp.uint8(1)).reshape(
@@ -87,6 +102,10 @@ def build_sharded_deflate(mesh, shard_len: int, level: int = 6, ctx: int | None 
         vals = jnp.sum(
             g << jnp.arange(32, dtype=jnp.uint32)[None, :], axis=1, dtype=jnp.uint32
         )
+        # pad to a power of two with zero forms AT THE FRONT (free in the
+        # raw domain) so the local combine tree is shape-static
+        if npow != nb:
+            vals = jnp.concatenate([jnp.zeros(npow - nb, jnp.uint32), vals])
         # local combine tree over equal-size blocks
         level_idx = 0
         while vals.shape[0] > 1:
@@ -102,22 +121,61 @@ def build_sharded_deflate(mesh, shard_len: int, level: int = 6, ctx: int | None 
             level_idx += 1
         return vals[0]
 
-    def step(data_shard, my_shift_bits):
+    def step(data_shard, my_shift_bits, n):
         idx = jax.lax.axis_index("shards")
+        n_valid = jnp.clip(n - idx * shard_len, 0, shard_len)
         # 1. halo: last ctx bytes travel to the right neighbor
         tail = data_shard[-ctx:]
         halo = jax.lax.ppermute(tail, "shards", perm)
-        ctx_valid = jnp.where(idx == 0, 0, ctx)
+        # a shard with data (n_valid > 0, idx > 0) always has a fully
+        # valid predecessor, so its halo is real history
+        ctx_valid = jnp.where((idx == 0) | (n_valid == 0), 0, ctx)
         buf = jnp.concatenate([halo, data_shard])
 
-        # 2. local compress (static-tree block per shard)
-        is_token, litlen, dist = match_and_parse(
-            jax, jnp, buf, ctx_valid, jnp.int32(shard_len), level, ctx=ctx
-        )
+        # 2. local compress (one block per shard)
         last = (idx == ndev - 1).astype(jnp.int32)
-        words, nbits = pack_static_block(jax, jnp, is_token, litlen, dist, last)
+        if dynamic:
+            from ..kernels.huffman_device import (
+                canonical_codes_device,
+                dynamic_header_device,
+                package_merge_device,
+            )
 
-        # 3a. adler: positional merge of per-shard (S, W)
+            is_token, litlen, dist = match_and_parse_v2(
+                jax, jnp, buf, ctx_valid, n_valid, level, ctx=ctx
+            )
+            lit_freq, dist_freq = histograms_v2(jax, jnp, is_token, litlen, dist)
+            lit_freq = lit_freq.at[256].add(1)
+            ll = package_merge_device(jax, jnp, lit_freq, 15)
+            dl = package_merge_device(jax, jnp, dist_freq, 15)
+            lcodes = canonical_codes_device(jax, jnp, ll)
+            dcodes = canonical_codes_device(jax, jnp, dl)
+            hdr_words, hdr_bits = dynamic_header_device(jax, jnp, ll, dl)
+            body_words, body_bits = pack_block_tables_v2(
+                jax, jnp, is_token, litlen, dist,
+                (jnp.concatenate([ll, jnp.zeros(2, jnp.int32)]),
+                 jnp.concatenate([lcodes, jnp.zeros(2, jnp.uint32)]),
+                 dl, dcodes),
+            )
+            head3 = jnp.array([4], jnp.uint32) | last.astype(jnp.uint32)
+            words, nbits = _bit_concat(
+                jnp,
+                [
+                    (head3, jnp.int32(3)),
+                    (hdr_words, hdr_bits),
+                    (body_words, body_bits),
+                ],
+                body_words.shape[0] + hdr_words.shape[0] + 4,
+            )
+        else:
+            is_token, litlen, dist = match_and_parse(
+                jax, jnp, buf, ctx_valid, n_valid, level, ctx=ctx
+            )
+            words, nbits = pack_static_block(jax, jnp, is_token, litlen, dist, last)
+
+        # 3a. adler: positional merge of per-shard (S, W).  Padding is
+        # rolled to the shard FRONT where zero bytes contribute nothing
+        # (weights count from the shard's valid end).
         def mod_reduce(v):
             # v: (k,) int32 entries < 2^24; sum mod MOD without overflow
             while v.shape[0] > 1:
@@ -126,12 +184,16 @@ def build_sharded_deflate(mesh, shard_len: int, level: int = 6, ctx: int | None 
                 v = jnp.sum(v.reshape(-1, 64), axis=1) % MOD
             return v[0]
 
-        x = data_shard.astype(jnp.int32)
+        pad_len = shard_len - n_valid
+        pos = jnp.arange(shard_len, dtype=jnp.int32)
+        masked = jnp.where(pos < n_valid, data_shard, 0)
+        rolled = jnp.roll(masked, pad_len)
+        x = rolled.astype(jnp.int32)
         w = jnp.arange(shard_len, 0, -1, dtype=jnp.int32)
         s_local = mod_reduce(jnp.sum(x.reshape(-1, 64), axis=1))
         wb = (x * (w % MOD)) % MOD  # products < 255*65521 < 2^31
         w_local = mod_reduce(jnp.sum(wb.reshape(-1, 64), axis=1) % MOD)
-        suffix = ((ndev - 1 - idx) * (shard_len % MOD)) % MOD
+        suffix = jnp.clip(n - (idx + 1) * shard_len, 0, None) % MOD
         # w_global_contrib = w_local + suffix * s_local (mod-safe multiply)
         hi, lo = suffix >> 8, suffix & 0xFF
         term = ((s_local * hi) % MOD * 256 + s_local * lo) % MOD
@@ -141,7 +203,7 @@ def build_sharded_deflate(mesh, shard_len: int, level: int = 6, ctx: int | None 
 
         # 3b. crc: shift local linear form by suffix matrix, XOR across
         # shards via bit-planed psum
-        l_local = local_crc_form(data_shard)
+        l_local = local_crc_form(rolled.astype(jnp.uint8))
         in_bits = ((l_local >> jnp.arange(32, dtype=jnp.uint32)) & 1).astype(jnp.int32)
         out_bits = (
             jax.lax.dot_general(
@@ -164,30 +226,43 @@ def build_sharded_deflate(mesh, shard_len: int, level: int = 6, ctx: int | None 
     sharded = shard_map(
         step,
         mesh=mesh,
-        in_specs=(P("shards"), P("shards")),
+        in_specs=(P("shards"), P("shards"), P()),
         out_specs=(P("shards"), P("shards"), P(), P(), P()),
     )
 
     from jax.sharding import NamedSharding
 
     data_sharding = NamedSharding(mesh, P("shards"))
-    jitted = jax.jit(lambda d, s: sharded(d, s))
-    shift_arg = jax.device_put(
-        shift_bits.reshape(ndev * 32, 32), NamedSharding(mesh, P("shards"))
-    )
+    jitted = jax.jit(lambda d, s, n: sharded(d, s, n))
+    shift_cache = {}
 
-    def run(data):
+    def run(data, n: int | None = None):
         # commit the input to the mesh so jit compiles for exactly these
         # devices (a subset mesh otherwise falls back to all devices)
+        if n is None:
+            n = int(data.shape[0])
+        if n not in shift_cache:
+            shift_cache[n] = jax.device_put(
+                jnp.asarray(
+                    _shard_shift_matrix_bits(shard_len, ndev, n)
+                ).reshape(ndev * 32, 32),
+                NamedSharding(mesh, P("shards")),
+            )
         data = jax.device_put(data, data_sharding)
-        return jitted(data, shift_arg)
+        return jitted(data, shift_cache[n], jnp.int32(n))
 
     return run, ctx
 
 
-def sharded_deflate(data: np.ndarray, mesh, level: int = 6):
-    """Host wrapper: pad/shard input, run the SPMD step, join bits, wrap
-    in a zlib container with the mesh-combined adler32."""
+def sharded_deflate(
+    data: np.ndarray, mesh, level: int = 6, dynamic: bool = True,
+    shard_len: int | None = None,
+):
+    """Host wrapper: pad/shard input of ANY length, run the SPMD step,
+    join bits, wrap in a zlib container with the mesh-combined adler32.
+
+    Padding never reaches the output: each shard compresses only its
+    valid bytes and checksums are computed over the valid region."""
     import jax.numpy as jnp
 
     from ..codec.bitsink import BitSink
@@ -196,19 +271,14 @@ def sharded_deflate(data: np.ndarray, mesh, level: int = 6):
 
     ndev = mesh.devices.size
     n = len(data)
-    shard_len = max(64, -(-n // ndev))
-    shard_len = (shard_len + 63) & ~63  # multiple of 64
+    if shard_len is None:
+        shard_len = max(64, -(-n // ndev))
+        shard_len = (shard_len + 63) & ~63  # multiple of 64
     total = shard_len * ndev
     padded = np.zeros(total, dtype=np.uint8)
     padded[:n] = data
-    if total != n:
-        # pad shards evenly; the pad bytes are compressed too, so only use
-        # the sharded path when sizes divide evenly or padding is accepted
-        raise ValueError(
-            "sharded_deflate requires len(data) divisible by %d" % (64 * ndev)
-        )
-    run, _ = build_sharded_deflate(mesh, shard_len, level)
-    words, nbits, s_g, w_g, l_g = run(jnp.asarray(padded))
+    run, _ = build_sharded_deflate(mesh, shard_len, level, dynamic=dynamic)
+    words, nbits, s_g, w_g, l_g = run(jnp.asarray(padded), n)
     words = np.asarray(words).reshape(ndev, -1)
     nbits = np.asarray(nbits).reshape(ndev)
 
