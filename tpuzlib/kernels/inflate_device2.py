@@ -1,0 +1,575 @@
+"""Device (TPU) inflate v2: cursor-parallel speculative tokenizer.
+
+Round-1's DeviceInflater decoded a CANDIDATE TOKEN AT EVERY BIT POSITION
+(24 HBM gathers per compressed byte) and synced to the host once per
+256-Kbit segment (a ~24 ms round-trip each through the tunnel).  v2
+replaces both:
+
+  * K cursors start at evenly spaced bit offsets inside each block and
+    decode symbols serially-in-lockstep (one lax.while_loop, 5 gathers
+    per SYMBOL across all cursors — ~20x less gather traffic than
+    per-bit decoding);
+  * mis-aligned cursors self-synchronize onto the true symbol chain
+    (rapidgzip-style speculation, PAPERS.md); splicing validates that
+    each cursor's end position appears in the next cursor's visited set
+    and drops the garbage prefix;
+  * the whole multi-cursor tokenize is ONE device dispatch per block
+    group — the host only parses block headers (it must discover them
+    anyway) and splices tapes.
+
+Capability parity: the throughput path of reference src/infcodes.ts
+inflate_fast (:62-301); the host engine remains the byte-granular
+streaming implementation and the fallback for mis-speculated gaps.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..codec import tokenize as tk
+from ..codec.huffman import fixed_dist_lut, fixed_litlen_lut
+
+LUT_MASK = 0x7FFF
+NB_SHIFT, NB_MASK = 15, 0xF
+EB_SHIFT = 19
+IS_LEN_BIT = 1 << 23
+IS_EOB_BIT = 1 << 24
+INVALID_BIT = 1 << 31
+
+ST_RUN, ST_STRIDE_END, ST_EOB, ST_ERR, ST_OOB = 0, 1, 2, 3, 4
+
+
+def _jnp():
+    import jax
+    import jax.numpy as jnp
+
+    return jax, jnp
+
+
+def _build_w32(jnp, data):
+    n = data.shape[0]
+    padded = jnp.concatenate([data, jnp.zeros(8, dtype=jnp.uint8)]).astype(jnp.uint32)
+    w = padded[:n]
+    w = w | (padded[1 : 1 + n] << jnp.uint32(8))
+    w = w | (padded[2 : 2 + n] << jnp.uint32(16))
+    w = w | (padded[3 : 3 + n] << jnp.uint32(24))
+    return w
+
+
+@functools.lru_cache()
+def make_cursor_tokenize(K: int, CAP: int):
+    """Jitted K-cursor tokenizer.
+
+    tok(w32, starts i32[K], stops i32[K], block_of i32[K],
+        luts_lit u32[NB*32768], luts_dist u32[NB*32768], avail_bits)
+      -> (tok_pack u32[K*CAP], tok_bp i32[K*CAP], cnt i32[K],
+          end_pos i32[K], status i32[K])
+
+    tok_pack: litlen | dist<<9 | is_match<<25 (literal byte or length);
+    tok_bp: the symbol's start bit (for splicing).  Cursors with
+    starts<0 are inactive padding.
+    """
+    jax, jnp = _jnp()
+
+    def window_at(w32, bitpos):
+        return w32[jnp.clip(bitpos >> 3, 0, w32.shape[0] - 1)] >> (
+            (bitpos & 7).astype(jnp.uint32)
+        )
+
+    @jax.jit
+    def tok(w32, starts, stops, block_of, luts_lit, luts_dist, avail_bits):
+        k_idx = jnp.arange(K, dtype=jnp.int32)
+        lut_base = block_of * 32768
+
+        def cond(state):
+            pos, cnt, status, _, _ = state
+            return jnp.any(status == ST_RUN)
+
+        def body(state):
+            pos, cnt, status, tok_pack, tok_bp = state
+            run = status == ST_RUN
+            w = window_at(w32, pos)
+            ent = luts_lit[jnp.clip(lut_base + (w & jnp.uint32(LUT_MASK)).astype(jnp.int32), 0, luts_lit.shape[0] - 1)]
+            nb = ((ent >> jnp.uint32(NB_SHIFT)) & jnp.uint32(NB_MASK)).astype(jnp.int32)
+            eb = ((ent >> jnp.uint32(EB_SHIFT)) & jnp.uint32(NB_MASK)).astype(jnp.int32)
+            base = (ent & jnp.uint32(LUT_MASK)).astype(jnp.int32)
+            extra = (
+                (w >> nb.astype(jnp.uint32))
+                & ((jnp.uint32(1) << eb.astype(jnp.uint32)) - jnp.uint32(1))
+            ).astype(jnp.int32)
+            val = base + extra
+            jump1 = nb + eb
+            is_len = (ent & jnp.uint32(IS_LEN_BIT)) != 0
+            is_eob = (ent & jnp.uint32(IS_EOB_BIT)) != 0
+            bad = (ent >> jnp.uint32(31)) != 0
+
+            w2 = window_at(w32, pos + jump1)
+            dent = luts_dist[jnp.clip(lut_base + (w2 & jnp.uint32(LUT_MASK)).astype(jnp.int32), 0, luts_dist.shape[0] - 1)]
+            dnb = ((dent >> jnp.uint32(NB_SHIFT)) & jnp.uint32(NB_MASK)).astype(jnp.int32)
+            deb = ((dent >> jnp.uint32(EB_SHIFT)) & jnp.uint32(NB_MASK)).astype(jnp.int32)
+            dbase = (dent & jnp.uint32(LUT_MASK)).astype(jnp.int32)
+            w3 = window_at(w32, pos + jump1 + dnb)
+            dextra = (
+                w3 & ((jnp.uint32(1) << deb.astype(jnp.uint32)) - jnp.uint32(1))
+            ).astype(jnp.int32)
+            dval = dbase + dextra
+            bad = bad | (is_len & ((dent >> jnp.uint32(31)) != 0))
+
+            jump = jnp.where(is_len, jump1 + dnb + deb, jump1)
+            nxt = pos + jump
+            oob = nxt > avail_bits
+
+            is_data = run & ~bad & ~is_eob & ~oob
+            # write the token (masked scatter: inactive lanes write to a
+            # scratch slot at the end)
+            slot = jnp.where(
+                is_data & (cnt < CAP), k_idx * CAP + cnt, K * CAP
+            )
+            pack = (
+                jnp.where(is_len, val, val).astype(jnp.uint32)
+                | (jnp.where(is_len, dval, 0).astype(jnp.uint32) << jnp.uint32(9))
+                | (is_len.astype(jnp.uint32) << jnp.uint32(25))
+            )
+            tok_pack = tok_pack.at[slot].set(jnp.where(is_data, pack, 0))
+            tok_bp = tok_bp.at[slot].set(jnp.where(is_data, pos, 0))
+
+            overflow = is_data & (cnt >= CAP)
+            cnt = cnt + is_data.astype(jnp.int32)
+            pos = jnp.where(is_data, nxt, pos)
+            status = jnp.where(
+                run & bad, ST_ERR,
+                jnp.where(
+                    run & ~bad & oob, ST_OOB,
+                    jnp.where(
+                        run & is_eob, ST_EOB,
+                        jnp.where(run & overflow, ST_ERR, status),
+                    ),
+                ),
+            )
+            # EOB consumes its bits; stride end: next symbol starts
+            # at/after stop
+            pos = jnp.where(run & is_eob & ~bad & ~oob, pos + jump, pos)
+            status = jnp.where(
+                (status == ST_RUN) & (pos >= stops), ST_STRIDE_END, status
+            )
+            return pos, cnt, status, tok_pack, tok_bp
+
+        pos0 = jnp.where(starts >= 0, starts, 0)
+        status0 = jnp.where(starts >= 0, ST_RUN, ST_STRIDE_END)
+        status0 = jnp.where(
+            (starts >= 0) & (starts >= stops), ST_STRIDE_END, status0
+        )
+        tok_pack0 = jnp.zeros(K * CAP + 1, jnp.uint32)
+        # unused slots hold a +inf sentinel so per-cursor rows stay
+        # ascending for the splice searchsorted
+        tok_bp0 = jnp.full(K * CAP + 1, 1 << 30, jnp.int32)
+        pos, cnt, status, tok_pack, tok_bp = jax.lax.while_loop(
+            cond,
+            body,
+            (pos0, jnp.zeros(K, jnp.int32), status0, tok_pack0, tok_bp0),
+        )
+        return tok_pack[:-1], tok_bp[:-1], cnt, pos, status
+
+    return tok
+
+
+def _parse_gap(buf: np.ndarray, bit: int, avail_bits: int):
+    """Parse zero or more EMPTY stored blocks (sync-flush markers) from
+    `bit`.  Returns (next_bit, final) where final=True when a BFINAL
+    marker ended the stream, or None if the gap contains anything else."""
+    final = False
+    while True:
+        reader = tk.BitReader(buf, bit, avail_bits)
+        try:
+            last = reader.bits(1)
+            btype = reader.bits(2)
+            if btype != 0:
+                return bit, final
+            reader.align_byte()
+            length = reader.bits(16)
+            nlen = reader.bits(16)
+            if length != (~nlen & 0xFFFF) or length != 0:
+                return None
+            bit = reader.pos
+            if last:
+                return bit, True
+        except (tk.DataError, tk.NeedMoreInput):
+            return None
+
+
+def _plan_blocks(buf: np.ndarray):
+    """Host pass 1: discover block headers and build per-block LUTs.
+
+    Returns a list of [header_bit, data_start_bit, stop_bit, luts,
+    bfinal, open_end].  stop_bit is the position of the NEXT discovered
+    header (the block's symbols must end at or before it, with only
+    empty-stored sync markers in between).  open_end=True means
+    discovery could not see past this block — the caller decodes the
+    remainder with the host engine from this block's actual end."""
+    from ..parallel.speculative import find_block_start
+
+    avail_bits = len(buf) * 8
+    blocks = []
+    bit = 0
+    while True:
+        gap = _parse_gap(buf, bit, avail_bits)
+        if gap is None:
+            return blocks or None
+        bit, final = gap
+        if final:
+            break
+        header_bit = bit
+        reader = tk.BitReader(buf, bit, avail_bits)
+        try:
+            last = reader.bits(1)
+            btype = reader.bits(2)
+            if btype == 1:
+                luts = (fixed_litlen_lut(), fixed_dist_lut())
+            elif btype == 2:
+                luts = tk.parse_dynamic_header(reader)
+            else:
+                return blocks or None
+        except (tk.DataError, tk.NeedMoreInput):
+            return blocks or None
+        data_start = reader.pos
+        if last:
+            blocks.append([header_bit, data_start, avail_bits, luts, True, False])
+            break
+        # find the next dynamic header (final ones included — the block
+        # planner, unlike segment decoding, handles BFINAL blocks).  Scan
+        # window-by-window: blocks can be hundreds of KB apart.
+        nxt = None
+        from_byte = (data_start >> 3) + 4
+        scan = 1 << 16
+        while from_byte < len(buf):
+            nxt = find_block_start(
+                buf, from_byte, window_bytes=scan, allow_final=True
+            )
+            if nxt is not None and nxt > data_start:
+                break
+            from_byte += scan - 8 if nxt is None else max((nxt >> 3) + 1 - from_byte, 1)
+            nxt = None
+        if nxt is None or nxt <= data_start:
+            blocks.append([header_bit, data_start, avail_bits, luts, False, True])
+            break
+        blocks.append([header_bit, data_start, nxt, luts, False, False])
+        bit = nxt
+    return blocks or None
+
+
+C0 = 192  # boundary-intersection candidates (overlap_bits / min sym bits)
+
+
+@functools.lru_cache()
+def make_splice_compact(K: int, CAP: int):
+    """Jitted device splice + compaction (overlap-intersection).
+
+    Cursors decode OVERLAP bits past their stop, so consecutive cursors'
+    chains share positions once the speculative one self-synchronizes.
+    Per boundary k -> k+1 the FIRST common symbol-start position at or
+    after stop_k becomes the cut; cursor k keeps tokens before the cut,
+    cursor k+1 from it.  An induction from each block's anchored first
+    cursor proves every kept token is on the true chain.
+
+    Returns (ok i32, M i32, comp u32[K*CAP])."""
+    jax, jnp = _jnp()
+
+    @jax.jit
+    def splice(tok_pack, tok_bp, cnt, end_pos, status, stops,
+               block_starts, is_block_first, is_block_last, active):
+        bp2 = tok_bp.reshape(K, CAP)
+        # candidate cut positions: cursor k's recorded starts >= stop_k
+        jstop = jax.vmap(jnp.searchsorted)(bp2, stops).astype(jnp.int32)
+        cand_idx = jnp.minimum(jstop[:, None] + jnp.arange(C0)[None, :], CAP - 1)
+        cand = jnp.take_along_axis(bp2, cand_idx, axis=1)  # (K, C0)
+        cand_valid = (jstop[:, None] + jnp.arange(C0)[None, :]) < cnt[:, None]
+
+        # membership of k's candidates in k+1's row
+        bp_next = jnp.concatenate([bp2[1:], jnp.full((1, CAP), 1 << 30, jnp.int32)])
+        cnt_next = jnp.concatenate([cnt[1:], jnp.zeros(1, jnp.int32)])
+        mloc = jax.vmap(jnp.searchsorted)(bp_next, cand).astype(jnp.int32)  # (K, C0)
+        mhit = jnp.take_along_axis(bp_next, jnp.minimum(mloc, CAP - 1), axis=1)
+        common = (
+            cand_valid
+            & (mloc < cnt_next[:, None])
+            & (mhit == cand)
+        )
+        # boundary k -> k+1 exists only within a block
+        next_first = jnp.concatenate([is_block_first[1:], jnp.ones(1, bool)])
+        boundary = active & ~next_first  # cursor k is not last in its block
+        any_common = jnp.any(common, axis=1)
+        first_c = jnp.argmax(common, axis=1).astype(jnp.int32)
+        jcut = jnp.where(
+            boundary & any_common,
+            jstop + first_c,
+            cnt,  # block-last cursors keep everything they decoded
+        )
+        jentry_next = jnp.take_along_axis(
+            mloc, first_c[:, None], axis=1
+        )[:, 0]
+        # entry index per cursor: 0 when anchored at its block's start,
+        # else the boundary's position in ITS row
+        prev_entry = jnp.concatenate([jnp.zeros(1, jnp.int32), jentry_next[:-1]])
+        prev_boundary_ok = jnp.concatenate(
+            [jnp.ones(1, bool), (boundary & any_common)[:-1]]
+        )
+        jlo = jnp.where(is_block_first, 0, prev_entry)
+
+        anchored = is_block_first & (
+            (cnt == 0)
+            | (
+                jnp.take_along_axis(bp2, jnp.zeros((K, 1), jnp.int32), axis=1)[:, 0]
+                == block_starts
+            )
+        )
+        good_status = jnp.where(
+            is_block_last, status == ST_EOB, status == ST_STRIDE_END
+        )
+        ok = jnp.all(
+            (
+                good_status
+                & (anchored | (~is_block_first & prev_boundary_ok))
+                & (~boundary | any_common)
+            )
+            | ~active
+        )
+
+        keep_lo = jnp.where(active, jlo, CAP)
+        keep_hi = jnp.where(active, jnp.minimum(jcut, cnt), 0)
+        col = jnp.arange(CAP, dtype=jnp.int32)[None, :]
+        mask = (col >= keep_lo[:, None]) & (col < keep_hi[:, None])
+        flat_mask = mask.reshape(K * CAP)
+        offs = jnp.cumsum(flat_mask.astype(jnp.int32)) - flat_mask
+        M = jnp.sum(flat_mask.astype(jnp.int32))
+        comp = jnp.zeros(K * CAP, jnp.uint32).at[
+            jnp.where(flat_mask, offs, K * CAP - 1)
+        ].max(jnp.where(flat_mask, tok_pack, 0))
+        return ok.astype(jnp.int32), M, comp
+
+    return splice
+
+
+@functools.lru_cache()
+def make_expand_v2(T: int, out_cap: int):
+    """Jitted masked-tape expansion with early-exit pointer doubling.
+
+    expand(comp u32[T], M, window u8[32768], wlen) ->
+      (out u8[out_cap], total i32)
+    total > out_cap signals capacity overflow (caller retries bigger)."""
+    jax, jnp = _jnp()
+    W = 1 << 15
+
+    @jax.jit
+    def expand(comp, M, window):
+        tid_dom = jnp.arange(T, dtype=jnp.int32)
+        valid = tid_dom < M
+        is_m = valid & (((comp >> jnp.uint32(25)) & 1) == 1)
+        ll = (comp & jnp.uint32(0x1FF)).astype(jnp.int32)
+        dd = ((comp >> jnp.uint32(9)) & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        out_len = jnp.where(valid, jnp.where(is_m, ll, 1), 0)
+        starts = jnp.cumsum(out_len) - out_len
+        total = jnp.sum(out_len)
+
+        tid_seed = jnp.full(out_cap, -1, jnp.int32)
+        scatter_idx = jnp.where(valid, jnp.minimum(starts, out_cap - 1), out_cap - 1)
+        tid_seed = tid_seed.at[scatter_idx].max(jnp.where(valid, tid_dom, -1))
+        tid = jax.lax.cummax(tid_seed)
+        tid = jnp.clip(tid, 0, T - 1)
+
+        i = jnp.arange(out_cap, dtype=jnp.int32)
+        start_b = starts[tid]
+        d = jnp.where(is_m[tid], dd[tid], 0)
+        jcol = i - start_b
+        is_copy_b = (d > 0) & (i < total)
+        src = start_b - d + jnp.where(d > 0, jcol % jnp.maximum(d, 1), 0)
+
+        ptr = jnp.arange(W + out_cap, dtype=jnp.int32)
+        ptr = ptr.at[W:].set(jnp.where(is_copy_b, src + W, ptr[W:]))
+        vals = jnp.concatenate(
+            [window, jnp.where(is_copy_b, 0, ll[tid]).astype(jnp.uint8)]
+        )
+
+        def cond(state):
+            ptr, changed = state
+            return changed
+
+        def body(state):
+            ptr, _ = state
+            ptr2 = ptr[ptr]
+            return ptr2, jnp.any(ptr2 != ptr)
+
+        ptr, _ = jax.lax.while_loop(cond, body, (ptr, jnp.bool_(True)))
+        out = vals[ptr[W:]]
+        return out, total
+
+    return expand
+
+
+class _Plan:
+    __slots__ = ("starts", "stops", "block_of", "K", "Kpad", "CAP",
+                 "luts_lit", "luts_dist", "meta")
+
+
+def _cursor_plan(buf: np.ndarray, stride_bits: int, max_cursors: int):
+    plan = _plan_blocks(buf)
+    if plan is None:
+        return None
+    starts, stops, block_of = [], [], []
+    first, last, bstart = [], [], []
+    for b, p in enumerate(plan):
+        _, ds, stop, _, _, _ = p
+        span = max(1, stop - ds)
+        nseg = max(1, min(-(-span // stride_bits), max_cursors))
+        bounds = [ds + (span * i) // nseg for i in range(nseg)]
+        for i, s in enumerate(bounds):
+            starts.append(s)
+            stops.append(bounds[i + 1] if i + 1 < nseg else stop)
+            block_of.append(b)
+            first.append(i == 0)
+            last.append(i == nseg - 1)
+            bstart.append(ds)
+    K = len(starts)
+    if K > max_cursors:
+        return None
+    out = _Plan()
+    out.K = K
+    out.Kpad = 1 << max(5, (K - 1).bit_length())
+    out.starts = starts
+    out.stops = stops
+    out.block_of = block_of
+    out.luts_lit = np.concatenate([p[3][0] for p in plan])
+    out.luts_dist = np.concatenate([p[3][1] for p in plan])
+    out.meta = (first, last, bstart, plan)
+    return out
+
+
+def inflate_device_v2(
+    data: np.ndarray,
+    dictionary: np.ndarray | None = None,
+    stride_bits: int = 1 << 15,
+    max_cursors: int = 2048,
+    size_hint: int | None = None,
+    device_expand: bool = True,
+):
+    """One-shot raw-DEFLATE decode, all heavy work on device.
+
+    Pass 1 (host): speculative block-header discovery + LUT build.
+    Pass 2 (device): K-cursor tokenize, splice validation, compaction.
+    Pass 3 (device): LZ expansion via early-exit pointer doubling (or
+    host native expansion when device_expand=False).
+
+    Returns decompressed bytes, or None when the stream needs the host
+    engine (stored blocks, failed discovery/speculation, token-cap
+    overflow)."""
+    jax, jnp = _jnp()
+    buf = np.ascontiguousarray(np.asarray(data))
+    avail_bits = len(buf) * 8
+    # adapt the stride so the whole stream fits the cursor budget
+    stride_bits = max(stride_bits, -(-avail_bits // max(1, max_cursors - 64)))
+    stride_bits = -(-stride_bits // 4096) * 4096
+    cp = _cursor_plan(buf, stride_bits, max_cursors)
+    if cp is None:
+        return None
+    K, Kpad = cp.K, cp.Kpad
+    OVERLAP = 1024  # bits decoded past each stop for chain intersection
+    CAP = max(64, (stride_bits + OVERLAP) // 6)
+
+    starts_a = np.full(Kpad, -1, np.int32)
+    stops_a = np.zeros(Kpad, np.int32)
+    block_a = np.zeros(Kpad, np.int32)
+    starts_a[:K] = cp.starts
+    stops_a[:K] = cp.stops
+    block_a[:K] = cp.block_of
+    stops_dec = stops_a + OVERLAP
+    first, last, bstart, plan = cp.meta
+    # padding rows count as block-firsts so a real block-last cursor
+    # followed by padding is not mistaken for an intra-block boundary
+    first_a = np.ones(Kpad, bool); first_a[:K] = first
+    last_a = np.ones(Kpad, bool); last_a[:K] = last
+    bstart_a = np.zeros(Kpad, np.int32); bstart_a[:K] = bstart
+    active_a = np.zeros(Kpad, bool); active_a[:K] = True
+
+    tokf = make_cursor_tokenize(Kpad, CAP)
+    w32 = _build_w32(jnp, jnp.asarray(buf))
+    tok_pack, tok_bp, cnt, end_pos, status = tokf(
+        w32,
+        jnp.asarray(starts_a),
+        jnp.asarray(stops_dec),
+        jnp.asarray(block_a),
+        jnp.asarray(cp.luts_lit),
+        jnp.asarray(cp.luts_dist),
+        np.int32(avail_bits),
+    )
+    splice = make_splice_compact(Kpad, CAP)
+    ok, M, comp = splice(
+        tok_pack, tok_bp, cnt, end_pos, status,
+        jnp.asarray(stops_a), jnp.asarray(bstart_a), jnp.asarray(first_a),
+        jnp.asarray(last_a), jnp.asarray(active_a),
+    )
+    if int(ok) != 1:
+        return None
+
+    # host validation of block chaining: between block b's EOB and block
+    # b+1's header there may only be empty-stored sync markers
+    end_np = np.asarray(end_pos)[:K]
+    block_last_idx = [
+        k for k in range(K) if last[k]
+    ]
+    tail_tokens = None
+    for bi, k in enumerate(block_last_idx):
+        block_end = int(end_np[k])
+        is_final_planned = bi == len(block_last_idx) - 1
+        _, _, _, _, bfinal, open_end = plan[bi]
+        if not is_final_planned:
+            gap = _parse_gap(buf, block_end, avail_bits)
+            if gap is None or gap[1] or gap[0] != plan[bi + 1][0]:
+                return None
+        else:
+            if bfinal:
+                pass  # stream ends with this block
+            elif open_end:
+                # discovery stopped here: decode the remainder on host
+                from ..parallel.speculative import _tokenize_range
+
+                litlen_t, dist_t, _, fin = _tokenize_range(
+                    buf, None, block_end, avail_bits, avail_bits
+                )
+                if not fin:
+                    return None
+                tail_tokens = (litlen_t, dist_t)
+            else:
+                gap = _parse_gap(buf, block_end, avail_bits)
+                if gap is None or not gap[1]:
+                    return None
+
+    window = (
+        dictionary[-((1 << 15) - 1):].astype(np.uint8)
+        if dictionary is not None and len(dictionary)
+        else np.empty(0, np.uint8)
+    )
+    if not device_expand or tail_tokens is not None:
+        comph = np.asarray(comp)[: int(M)]
+        is_m = (comph >> 25) & 1
+        litlen = (comph & 0x1FF).astype(np.int32)
+        dist = np.where(is_m == 1, (comph >> 9) & 0xFFFF, 0).astype(np.int32)
+        if tail_tokens is not None:
+            litlen = np.concatenate([litlen, tail_tokens[0]])
+            dist = np.concatenate([dist, tail_tokens[1]])
+        from ..codec.expand import expand_host
+
+        return expand_host(litlen, dist, window)
+
+    win = np.zeros(1 << 15, np.uint8)
+    if len(window):
+        win[-len(window):] = window
+    out_cap = size_hint or (8 * len(buf) + (1 << 16))
+    out_cap = -(-out_cap // 1024) * 1024
+    while True:
+        expand = make_expand_v2(Kpad * CAP, out_cap)
+        out, total = expand(comp, M, jnp.asarray(win))
+        t = int(total)
+        if t <= out_cap:
+            return np.asarray(out)[:t]
+        out_cap = -(-t // 1024) * 1024

@@ -75,14 +75,16 @@ def _native_tokenize_range(buf, start_bit, stop_bit):
         )
 
 
-def _probe_header(buf: np.ndarray, bit_pos: int, avail_bits: int):
+def _probe_header(buf: np.ndarray, bit_pos: int, avail_bits: int,
+                  allow_final: bool = False):
     """Try to parse a block header at bit_pos.  Returns (luts, data_start)
     or None."""
     reader = tk.BitReader(buf, bit_pos, avail_bits)
     try:
         last = reader.bits(1)
         btype = reader.bits(2)
-        if last:  # final blocks near stream end: let the tail handle them
+        if last and not allow_final:
+            # segment decoding treats final blocks as the tail's job
             return None
         if btype == 2:
             luts = tk.parse_dynamic_header(reader)
@@ -106,7 +108,8 @@ def _confirm(w64, data_start, avail_bits, luts, probe_syms=48):
     return len(litlen) >= min(probe_syms, 8)
 
 
-def _kraft_prefilter(w64, start_bit: int, nbits: int) -> np.ndarray:
+def _kraft_prefilter(w64, start_bit: int, nbits: int,
+                     allow_final: bool = False) -> np.ndarray:
     """Vectorized candidate filter for dynamic-block headers.
 
     For every bit offset in [start_bit, start_bit+nbits): BFINAL must be
@@ -124,7 +127,9 @@ def _kraft_prefilter(w64, start_bit: int, nbits: int) -> np.ndarray:
     hlit = ((wA >> np.uint64(3)) & np.uint64(31)).astype(np.int64)
     hdist = ((wA >> np.uint64(8)) & np.uint64(31)).astype(np.int64)
     hclen = ((wA >> np.uint64(13)) & np.uint64(15)).astype(np.int64) + 4
-    ok = (bfinal == 0) & (btype == 2) & (hlit <= 29) & (hdist <= 29)
+    ok = (btype == 2) & (hlit <= 29) & (hdist <= 29)
+    if not allow_final:
+        ok &= bfinal == 0
 
     kraft = np.zeros(len(pos), dtype=np.int64)
     nzero = np.zeros(len(pos), dtype=np.int64)
@@ -142,7 +147,8 @@ def _kraft_prefilter(w64, start_bit: int, nbits: int) -> np.ndarray:
     return np.flatnonzero(ok)
 
 
-def find_block_start(buf: np.ndarray, from_byte: int, window_bytes: int = 1 << 15):
+def find_block_start(buf: np.ndarray, from_byte: int, window_bytes: int = 1 << 15,
+                     allow_final: bool = False):
     """Scan forward from from_byte for a confirmed block-header bit
     offset.  Returns bit position or None.
 
@@ -155,9 +161,11 @@ def find_block_start(buf: np.ndarray, from_byte: int, window_bytes: int = 1 << 1
     limit_bits = min(local_bits, window_bytes * 8)
     if limit_bits <= 0:
         return None
-    for rel in _kraft_prefilter(local, 0, limit_bits):
+    for rel in _kraft_prefilter(local, 0, limit_bits, allow_final=allow_final):
         lpos = int(rel)
-        got = _probe_header(buf[from_byte:region_end], lpos, local_bits)
+        got = _probe_header(
+            buf[from_byte:region_end], lpos, local_bits, allow_final=allow_final
+        )
         if got is None:
             continue
         luts, data_start = got
