@@ -89,6 +89,29 @@ def main():
     print(json.dumps(result))
 
 
+def _loop_time(jax, fn, init, k1=2, k2=8, reps=3):
+    """Per-iteration device time by in-jit loop differencing: the tunnel
+    adds a ~24 ms floor to EVERY dispatch, so single-dispatch wall times
+    measure the tunnel, not the kernel."""
+    import time
+
+    import numpy as np
+    from jax import lax
+
+    f = jax.jit(lambda x, k: lax.fori_loop(0, k, fn, x))
+
+    def run(k):
+        t0 = time.perf_counter()
+        r = f(init, k)
+        jax.tree_util.tree_map(lambda a: np.asarray(a).ravel()[:1], r)
+        return time.perf_counter() - t0
+
+    run(1)  # compile + warm
+    t1 = min(run(k1) for _ in range(reps))
+    t2 = min(run(k2) for _ in range(reps))
+    return max((t2 - t1) / (k2 - k1), 1e-9)
+
+
 def _run_tpu_section(extras, txt):
     import time
 
@@ -98,10 +121,10 @@ def _run_tpu_section(extras, txt):
         import jax
 
         if jax.default_backend() in ("tpu",):
+            import jax.numpy as jnp
+
             from tpuzlib.kernels.adler32 import adler32_device
             from tpuzlib.kernels.crc32 import crc32_device
-
-            import jax.numpy as jnp
 
             data = np.frombuffer((txt * 140)[: 64 << 20], np.uint8)
             # device-resident input: the production scenario is checksums
@@ -124,36 +147,57 @@ def _run_tpu_section(extras, txt):
 
             assert crc_val == _z.crc32(data.tobytes())
 
-            # device codec kernel (honest number: gather-bound this round)
-            from tpuzlib.kernels.deflate_device import (
-                CTX,
-                match_and_parse,
-                pack_static_block,
-            )
+            # --- v2 deflate kernel: batched fully-on-device dynamic ----
+            from tpuzlib.kernels import deflate_device as dd
 
-            chunk = 1 << 18
-            dbuf = jax.device_put(
-                jnp.asarray(np.frombuffer((txt * 40)[: CTX + chunk], np.uint8))
-            )
+            chunk, batch = 1 << 18, 4
+            out_words = min(chunk + 4, (chunk * 10) // 32 + 64)
+            enc = dd.make_encode_batch_v2(6, chunk, batch, out_words)
+            big = np.frombuffer((txt * 40)[: batch * (dd.CTX + chunk)], np.uint8)
+            bufs = jnp.asarray(big.reshape(batch, dd.CTX + chunk))
+            cv = jnp.zeros(batch, jnp.int32)
+            nv = jnp.full(batch, chunk, jnp.int32)
+            lv = jnp.zeros(batch, jnp.int32)
 
-            @jax.jit
-            def dev_encode(x):
-                it, ll_, dd_ = match_and_parse(
-                    jax, jnp, x, jnp.int32(0), jnp.int32(chunk), 6
-                )
-                return pack_static_block(jax, jnp, it, ll_, dd_, jnp.int32(1))
-
-            r = dev_encode(dbuf)
-            np.asarray(r[1])
+            # honest wall number (includes tunnel dispatch)
+            w, tb = enc(bufs, cv, nv, lv)
+            np.asarray(tb)
             t0 = time.time()
-            for _ in range(3):
-                r = dev_encode(dbuf)
-                np.asarray(r[1])
-            extras["tpu_deflate_kernel_MBps"] = round(
-                chunk / ((time.time() - t0) / 3) / 1e6, 2
+            w, tb = enc(bufs, cv, nv, lv)
+            np.asarray(tb)
+            extras["tpu_deflate_e2e_MBps"] = round(
+                batch * chunk / (time.time() - t0) / 1e6, 2
             )
+
+            # device-time number (loop differencing)
+            def enc_body(i, bufs_c):
+                w, tb = enc(bufs_c, cv, nv, lv)
+                return bufs_c.at[0, 0].set((tb[0] & 127).astype(jnp.uint8))
+
+            per = _loop_time(jax, enc_body, bufs, k1=2, k2=6)
+            extras["tpu_deflate_kernel_MBps"] = round(
+                batch * chunk / per / 1e6, 2
+            )
+
+            # --- v2 inflate: cursor-parallel speculative decode --------
+            from tpuzlib.kernels.inflate_device2 import inflate_device_v2
+
+            import tpuzlib
+
+            src = (txt * 18)[: 8 << 20]
+            wire = bytes(tpuzlib.deflate(src, level=6))
+            payload = np.ascontiguousarray(np.frombuffer(wire[2:-4], np.uint8))
+            out = inflate_device_v2(payload, size_hint=len(src) + 1024)
+            if out is not None and bytes(out) == src:
+                t0 = time.time()
+                inflate_device_v2(payload, size_hint=len(src) + 1024)
+                extras["tpu_inflate_e2e_MBps"] = round(
+                    len(src) / (time.time() - t0) / 1e6, 2
+                )
+            else:  # pragma: no cover
+                extras["tpu_inflate_e2e_MBps"] = 0.0
     except Exception as e:  # pragma: no cover
-        extras["tpu_error"] = str(e)[:120]
+        extras["tpu_error"] = str(e)[:160]
 
 
 def _emit(deflate_mbps, extras):
