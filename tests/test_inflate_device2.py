@@ -92,3 +92,16 @@ def test_fuzz_vs_zlib():
         )
         if out is not None:
             assert bytes(out) == blob, trial
+
+
+@pytest.mark.parametrize("ndev", [3, 8])
+def test_sharded_inflate_mesh(paradiselost, ndev):
+    """Multi-chip inflate: cursor tokenize sharded over a CPU mesh."""
+    from tpuzlib.parallel import make_mesh, sharded_inflate
+
+    wire = bytes(tpuzlib.deflate(paradiselost, level=6))
+    mesh = make_mesh(ndev, platform="cpu")
+    out = sharded_inflate(
+        _raw(wire[2:-4]), mesh, stride_bits=1 << 14, max_cursors=256
+    )
+    assert out is not None and bytes(out) == paradiselost

@@ -58,28 +58,22 @@ def _build_w32(jnp, data):
     return w
 
 
-@functools.lru_cache()
-def make_cursor_tokenize(K: int, CAP: int):
-    """Jitted K-cursor tokenizer.
+def cursor_tokenize_body(
+    jax, jnp, CAP, w32, starts, stops, block_of, luts_lit, luts_dist, avail_bits
+):
+    """Core K-cursor decode loop (shared by the jitted single-device
+    wrapper and the shard_map sharded-inflate step).
 
-    tok(w32, starts i32[K], stops i32[K], block_of i32[K],
-        luts_lit u32[NB*32768], luts_dist u32[NB*32768], avail_bits)
-      -> (tok_pack u32[K*CAP], tok_bp i32[K*CAP], cnt i32[K],
-          end_pos i32[K], status i32[K])
-
-    tok_pack: litlen | dist<<9 | is_match<<25 (literal byte or length);
-    tok_bp: the symbol's start bit (for splicing).  Cursors with
-    starts<0 are inactive padding.
-    """
-    jax, jnp = _jnp()
+    Returns (tok_pack u32[K*CAP], tok_bp i32[K*CAP], cnt i32[K],
+    end_pos i32[K], status i32[K]); K = starts.shape[0]."""
+    K = starts.shape[0]
 
     def window_at(w32, bitpos):
         return w32[jnp.clip(bitpos >> 3, 0, w32.shape[0] - 1)] >> (
             (bitpos & 7).astype(jnp.uint32)
         )
 
-    @jax.jit
-    def tok(w32, starts, stops, block_of, luts_lit, luts_dist, avail_bits):
+    if True:
         k_idx = jnp.arange(K, dtype=jnp.int32)
         lut_base = block_of * 32768
 
@@ -161,16 +155,38 @@ def make_cursor_tokenize(K: int, CAP: int):
         status0 = jnp.where(
             (starts >= 0) & (starts >= stops), ST_STRIDE_END, status0
         )
-        tok_pack0 = jnp.zeros(K * CAP + 1, jnp.uint32)
+        # derive the token-array carries from a (possibly device-varying)
+        # input so their sharding variance matches the loop outputs under
+        # shard_map
+        zero_like_in = starts[0] * 0
+        tok_pack0 = jnp.zeros(K * CAP + 1, jnp.uint32) + zero_like_in.astype(
+            jnp.uint32
+        )
         # unused slots hold a +inf sentinel so per-cursor rows stay
         # ascending for the splice searchsorted
-        tok_bp0 = jnp.full(K * CAP + 1, 1 << 30, jnp.int32)
+        tok_bp0 = jnp.full(K * CAP + 1, 1 << 30, jnp.int32) + zero_like_in
         pos, cnt, status, tok_pack, tok_bp = jax.lax.while_loop(
             cond,
             body,
-            (pos0, jnp.zeros(K, jnp.int32), status0, tok_pack0, tok_bp0),
+            (pos0, jnp.zeros(K, jnp.int32) + zero_like_in, status0,
+             tok_pack0, tok_bp0),
         )
         return tok_pack[:-1], tok_bp[:-1], cnt, pos, status
+
+
+@functools.lru_cache()
+def make_cursor_tokenize(K: int, CAP: int):
+    """Jitted single-device K-cursor tokenizer (see cursor_tokenize_body).
+
+    Cursors with starts<0 are inactive padding."""
+    jax, jnp = _jnp()
+
+    @jax.jit
+    def tok(w32, starts, stops, block_of, luts_lit, luts_dist, avail_bits):
+        return cursor_tokenize_body(
+            jax, jnp, CAP, w32, starts, stops, block_of,
+            luts_lit, luts_dist, avail_bits,
+        )
 
     return tok
 
@@ -452,6 +468,7 @@ def inflate_device_v2(
     max_cursors: int = 2048,
     size_hint: int | None = None,
     device_expand: bool = True,
+    mesh=None,
 ):
     """One-shot raw-DEFLATE decode, all heavy work on device.
 
@@ -459,6 +476,10 @@ def inflate_device_v2(
     Pass 2 (device): K-cursor tokenize, splice validation, compaction.
     Pass 3 (device): LZ expansion via early-exit pointer doubling (or
     host native expansion when device_expand=False).
+
+    With `mesh`, pass 2's tokenize runs as a shard_map over the mesh's
+    "shards" axis (cursors are embarrassingly parallel; the compressed
+    stream and LUTs are replicated) — the multi-chip inflate path.
 
     Returns decompressed bytes, or None when the stream needs the host
     engine (stored blocks, failed discovery/speculation, token-cap
@@ -473,6 +494,9 @@ def inflate_device_v2(
     if cp is None:
         return None
     K, Kpad = cp.K, cp.Kpad
+    if mesh is not None:
+        ndev = int(mesh.devices.size)
+        Kpad = ndev * (-(-Kpad // ndev))
     OVERLAP = 1024  # bits decoded past each stop for chain intersection
     CAP = max(64, (stride_bits + OVERLAP) // 6)
 
@@ -491,17 +515,43 @@ def inflate_device_v2(
     bstart_a = np.zeros(Kpad, np.int32); bstart_a[:K] = bstart
     active_a = np.zeros(Kpad, bool); active_a[:K] = True
 
-    tokf = make_cursor_tokenize(Kpad, CAP)
     w32 = _build_w32(jnp, jnp.asarray(buf))
-    tok_pack, tok_bp, cnt, end_pos, status = tokf(
-        w32,
-        jnp.asarray(starts_a),
-        jnp.asarray(stops_dec),
-        jnp.asarray(block_a),
-        jnp.asarray(cp.luts_lit),
-        jnp.asarray(cp.luts_dist),
-        np.int32(avail_bits),
-    )
+    if mesh is None:
+        tokf = make_cursor_tokenize(Kpad, CAP)
+        tok_pack, tok_bp, cnt, end_pos, status = tokf(
+            w32,
+            jnp.asarray(starts_a),
+            jnp.asarray(stops_dec),
+            jnp.asarray(block_a),
+            jnp.asarray(cp.luts_lit),
+            jnp.asarray(cp.luts_dist),
+            np.int32(avail_bits),
+        )
+    else:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def shard_step(w32s, s, p, b, ll, ld):
+            return cursor_tokenize_body(
+                jax, jnp, CAP, w32s, s, p, b, ll, ld, np.int32(avail_bits)
+            )
+
+        sharded_tok = jax.jit(
+            shard_map(
+                shard_step,
+                mesh=mesh,
+                in_specs=(P(), P("shards"), P("shards"), P("shards"), P(), P()),
+                out_specs=(P("shards"),) * 5,
+            )
+        )
+        tok_pack, tok_bp, cnt, end_pos, status = sharded_tok(
+            w32,
+            jnp.asarray(starts_a),
+            jnp.asarray(stops_dec),
+            jnp.asarray(block_a),
+            jnp.asarray(cp.luts_lit),
+            jnp.asarray(cp.luts_dist),
+        )
     splice = make_splice_compact(Kpad, CAP)
     ok, M, comp = splice(
         tok_pack, tok_bp, cnt, end_pos, status,

@@ -304,3 +304,22 @@ def sharded_deflate(
     trailer = u8_view(make_zlib_trailer(adler))
     out = np.concatenate([header, body, trailer])
     return out, adler, crc & 0xFFFFFFFF
+
+
+def sharded_inflate(data, mesh, stride_bits: int = 1 << 15,
+                    max_cursors: int = 4096, size_hint: int | None = None,
+                    dictionary=None):
+    """Mesh-parallel raw-DEFLATE decode (the multi-chip inflate path).
+
+    Cursor-parallel speculative tokenization sharded over the mesh's
+    "shards" axis (kernels/inflate_device2) — cursors are independent,
+    so each device decodes its slice of bit-strides with the compressed
+    stream replicated; splice validation, compaction and LZ expansion
+    follow on the global arrays.  Returns decompressed bytes or None
+    when the stream needs the host engine (caller falls back)."""
+    from ..kernels.inflate_device2 import inflate_device_v2
+
+    return inflate_device_v2(
+        data, dictionary=dictionary, stride_bits=stride_bits,
+        max_cursors=max_cursors, size_hint=size_hint, mesh=mesh,
+    )
