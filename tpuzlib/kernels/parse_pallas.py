@@ -65,13 +65,18 @@ def _kernel_fn(nseg: int, interpret: bool):
         # --- phase 2: row composition (true chain entry per row) ---------
         # e[seg] = absolute segment offset at which the chain enters
         # "row band" r; advance band by band.
+        # Mosaic's gather wants full-shape indices: broadcast the per-row
+        # scalar lookup across lanes and read lane 0
         e = jnp.zeros((nseg, 1), jnp.int32)
         entry_lanes = []
         for r in range(SUBS):
             base = r * 128
             in_band = (e >= base) & (e < base + 128)
             el = jnp.clip(e - base, 0, 127)
-            exit_rel = jnp.take_along_axis(a[r * nseg : (r + 1) * nseg, :], el, axis=1)
+            el_b = jnp.broadcast_to(el, (nseg, 128))
+            exit_rel = jnp.take_along_axis(
+                a[r * nseg : (r + 1) * nseg, :], el_b, axis=1
+            )[:, :1]
             e_next = jnp.where(in_band, base + exit_rel, e)
             entry_lanes.append(jnp.where(in_band, el, -1))
             e = e_next
@@ -82,7 +87,9 @@ def _kernel_fn(nseg: int, interpret: bool):
         # --- phase 3: membership by rank replay --------------------------
         T = c  # jumps-to-exit per lane
         el_c = jnp.clip(el_rows, 0, 127)
-        T_entry = jnp.take_along_axis(T, el_c, axis=1)  # (rows, 1)
+        T_entry = jnp.take_along_axis(
+            T, jnp.broadcast_to(el_c, (rows, 128)), axis=1
+        )[:, :1]  # (rows, 1)
         k = T_entry - T  # jumps from entry to reach l (if on chain)
         valid = (el_rows >= 0) & (k >= 0)
         p = jnp.broadcast_to(el_c, (rows, 128))
