@@ -32,9 +32,11 @@ def timed(fn, reps=10):
 
 def main():
     import tpuzlib
+    from tpuzlib.utils.jaxcache import enable_compile_cache
     from tpuzlib.utils.mem import tune_malloc
 
     tune_malloc()  # this host pays ~50us/page on first touch; see utils/mem.py
+    enable_compile_cache()  # tunnel compiles cost minutes; pay them once
 
     txt = open("/root/reference/test/paradiselost.txt", "rb").read()
     n = len(txt)
@@ -70,20 +72,11 @@ def main():
     extras["deflate_l6_32MB_MBps"] = round(len(big) / best_d / 1e6, 1)
     extras["inflate_32MB_MBps"] = round(len(big) / best_i / 1e6, 1)
 
-    # --- TPU kernels (bounded + retried: the remote tunnel can stall) ---
-    import signal
-
-    def _alarm(sig, frame):
-        raise TimeoutError("tpu section timed out")
-
-    signal.signal(signal.SIGALRM, _alarm)
-    for attempt, budget in ((0, 240), (1, 150)):
-        if attempt and "tpu_error" not in extras:
-            break
-        extras.pop("tpu_error", None)
-        signal.alarm(budget)
-        _run_tpu_section(extras, txt)
-        signal.alarm(0)
+    # --- TPU kernels: one alarm budget PER metric, extras recorded as
+    # they land (round-2 lesson: a single whole-section alarm lost every
+    # TPU number to one slow compile; with the persistent compile cache
+    # warm, each metric takes seconds)
+    _run_tpu_section(extras, txt)
 
     result = _emit(deflate_mbps, extras)
     print(json.dumps(result))
@@ -112,6 +105,25 @@ def _loop_time(jax, fn, init, k1=2, k2=8, reps=3):
     return max((t2 - t1) / (k2 - k1), 1e-9)
 
 
+def _metric(extras, key, budget, fn):
+    """Run one TPU metric under its own alarm; failures are recorded
+    per-key and never erase other metrics (round-2 lesson)."""
+    import signal
+
+    def _alarm(sig, frame):
+        raise TimeoutError("timed out")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(budget)
+    try:
+        fn()
+    except Exception as e:  # pragma: no cover
+        extras.setdefault("tpu_errors", {})[key] = str(e)[:120]
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def _run_tpu_section(extras, txt):
     import time
 
@@ -120,84 +132,107 @@ def _run_tpu_section(extras, txt):
     try:
         import jax
 
-        if jax.default_backend() in ("tpu",):
-            import jax.numpy as jnp
-
-            from tpuzlib.kernels.adler32 import adler32_device
-            from tpuzlib.kernels.crc32 import crc32_device
-
-            data = np.frombuffer((txt * 140)[: 64 << 20], np.uint8)
-            # device-resident input: the production scenario is checksums
-            # over data already in HBM (decompressed shards)
-            ddata = jax.device_put(jnp.asarray(data))
-            jax.block_until_ready(ddata)
-            crc_val = crc32_device(ddata)  # warm/compile
-            crc32_device(ddata)  # second warm (transfer-program cache)
-            t0 = time.time()
-            crc_val = crc32_device(ddata)
-            extras["tpu_crc32_GBps"] = round(len(data) / (time.time() - t0) / 1e9, 2)
-            adler32_device(ddata)
-            adler32_device(ddata)
-            t0 = time.time()
-            adler32_device(ddata)
-            extras["tpu_adler32_GBps"] = round(
-                len(data) / (time.time() - t0) / 1e9, 2
-            )
-            import zlib as _z
-
-            assert crc_val == _z.crc32(data.tobytes())
-
-            # --- v2 deflate kernel: batched fully-on-device dynamic ----
-            from tpuzlib.kernels import deflate_device as dd
-
-            chunk, batch = 1 << 18, 4
-            out_words = min(chunk + 4, (chunk * 10) // 32 + 64)
-            enc = dd.make_encode_batch_v2(6, chunk, batch, out_words)
-            big = np.frombuffer((txt * 40)[: batch * (dd.CTX + chunk)], np.uint8)
-            bufs = jnp.asarray(big.reshape(batch, dd.CTX + chunk))
-            cv = jnp.zeros(batch, jnp.int32)
-            nv = jnp.full(batch, chunk, jnp.int32)
-            lv = jnp.zeros(batch, jnp.int32)
-
-            # honest wall number (includes tunnel dispatch)
-            w, tb = enc(bufs, cv, nv, lv)
-            np.asarray(tb)
-            t0 = time.time()
-            w, tb = enc(bufs, cv, nv, lv)
-            np.asarray(tb)
-            extras["tpu_deflate_e2e_MBps"] = round(
-                batch * chunk / (time.time() - t0) / 1e6, 2
-            )
-
-            # device-time number (loop differencing)
-            def enc_body(i, bufs_c):
-                w, tb = enc(bufs_c, cv, nv, lv)
-                return bufs_c.at[0, 0].set((tb[0] & 127).astype(jnp.uint8))
-
-            per = _loop_time(jax, enc_body, bufs, k1=2, k2=6)
-            extras["tpu_deflate_kernel_MBps"] = round(
-                batch * chunk / per / 1e6, 2
-            )
-
-            # --- v2 inflate: cursor-parallel speculative decode --------
-            from tpuzlib.kernels.inflate_device2 import inflate_device_v2
-
-            import tpuzlib
-
-            src = (txt * 18)[: 8 << 20]
-            wire = bytes(tpuzlib.deflate(src, level=6))
-            payload = np.ascontiguousarray(np.frombuffer(wire[2:-4], np.uint8))
-            out = inflate_device_v2(payload, size_hint=len(src) + 1024)
-            if out is not None and bytes(out) == src:
-                t0 = time.time()
-                inflate_device_v2(payload, size_hint=len(src) + 1024)
-                extras["tpu_inflate_e2e_MBps"] = round(
-                    len(src) / (time.time() - t0) / 1e6, 2
-                )
-            else:  # pragma: no cover
-                extras["tpu_inflate_e2e_MBps"] = 0.0
+        if jax.default_backend() not in ("tpu",):
+            return
+        import jax.numpy as jnp
     except Exception as e:  # pragma: no cover
         extras["tpu_error"] = str(e)[:160]
+        return
+
+    def checksums():
+        from tpuzlib.kernels.adler32 import adler32_device
+        from tpuzlib.kernels.crc32 import crc32_device
+
+        data = np.frombuffer((txt * 140)[: 64 << 20], np.uint8)
+        # device-resident input: the production scenario is checksums
+        # over data already in HBM (decompressed shards)
+        ddata = jax.device_put(jnp.asarray(data))
+        jax.block_until_ready(ddata)
+        crc_val = crc32_device(ddata)  # warm/compile
+        crc32_device(ddata)  # second warm (transfer-program cache)
+        t0 = time.time()
+        crc_val = crc32_device(ddata)
+        extras["tpu_crc32_GBps"] = round(len(data) / (time.time() - t0) / 1e9, 2)
+        adler32_device(ddata)
+        adler32_device(ddata)
+        t0 = time.time()
+        adler32_device(ddata)
+        extras["tpu_adler32_GBps"] = round(len(data) / (time.time() - t0) / 1e9, 2)
+        import zlib as _z
+
+        assert crc_val == _z.crc32(data.tobytes())
+
+        # device-time split (loop differencing; excludes the ~24 ms
+        # tunnel dispatch floor baked into the e2e numbers above)
+        from tpuzlib.kernels.crc32_pallas import crc32_device_jit
+        from tpuzlib.kernels.adler32_pallas import adler32_device_jit
+
+        def crc_body(i, st):
+            d, acc = st
+            return d, acc ^ crc32_device_jit(d)
+
+        per = _loop_time(jax, crc_body, (ddata, jnp.uint32(0)), k1=2, k2=8)
+        extras["tpu_crc32_dev_GBps"] = round(len(data) / per / 1e9, 2)
+
+        def adl_body(i, st):
+            d, acc = st
+            return d, acc ^ adler32_device_jit(d)
+
+        per = _loop_time(jax, adl_body, (ddata, jnp.uint32(0)), k1=2, k2=8)
+        extras["tpu_adler32_dev_GBps"] = round(len(data) / per / 1e9, 2)
+
+    _metric(extras, "checksums", 600, checksums)
+
+    def deflate_kernel():
+        from tpuzlib.kernels import deflate_device as dd
+
+        chunk, batch = 1 << 18, 4
+        out_words = min(chunk + 4, (chunk * 10) // 32 + 64)
+        make_enc = getattr(dd, "make_encode_batch_v3", None) or dd.make_encode_batch_v2
+        enc = make_enc(6, chunk, batch, out_words)
+        big = np.frombuffer((txt * 40)[: batch * (dd.CTX + chunk)], np.uint8)
+        bufs = jnp.asarray(big.reshape(batch, dd.CTX + chunk))
+        cv = jnp.zeros(batch, jnp.int32)
+        nv = jnp.full(batch, chunk, jnp.int32)
+        lv = jnp.zeros(batch, jnp.int32)
+
+        # honest wall number (includes tunnel dispatch)
+        w, tb = enc(bufs, cv, nv, lv)
+        np.asarray(tb)
+        t0 = time.time()
+        w, tb = enc(bufs, cv, nv, lv)
+        np.asarray(tb)
+        extras["tpu_deflate_e2e_MBps"] = round(
+            batch * chunk / (time.time() - t0) / 1e6, 2
+        )
+
+        # device-time number (loop differencing)
+        def enc_body(i, bufs_c):
+            w, tb = enc(bufs_c, cv, nv, lv)
+            return bufs_c.at[0, 0].set((tb[0] & 127).astype(jnp.uint8))
+
+        per = _loop_time(jax, enc_body, bufs, k1=2, k2=6)
+        extras["tpu_deflate_kernel_MBps"] = round(batch * chunk / per / 1e6, 2)
+
+    _metric(extras, "deflate", 900, deflate_kernel)
+
+    def inflate_e2e():
+        from tpuzlib.kernels.inflate_device2 import inflate_device_v2
+
+        import tpuzlib
+
+        src = (txt * 18)[: 8 << 20]
+        wire = bytes(tpuzlib.deflate(src, level=6))
+        payload = np.ascontiguousarray(np.frombuffer(wire[2:-4], np.uint8))
+        out = inflate_device_v2(payload, size_hint=len(src) + 1024)
+        assert out is not None and bytes(out) == src, "device inflate fell back"
+        t0 = time.time()
+        inflate_device_v2(payload, size_hint=len(src) + 1024)
+        extras["tpu_inflate_e2e_MBps"] = round(
+            len(src) / (time.time() - t0) / 1e6, 2
+        )
+
+    _metric(extras, "inflate", 900, inflate_e2e)
 
 
 def _emit(deflate_mbps, extras):

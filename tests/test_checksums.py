@@ -121,3 +121,19 @@ def test_adler32_pallas_kernel(rng):
         assert adler32_device_pallas(d, seed=seed) == zlib.adler32(
             d.tobytes(), seed
         )
+
+
+def test_checksum_device_jit_scalars(rng):
+    """Fully-on-device jit entry points (Pallas forms + in-jit combine)
+    must return device scalars that agree with zlib — these are the
+    loop-differencing device-time forms used by bench.py."""
+    import jax.numpy as jnp
+
+    from tpuzlib.kernels.adler32_pallas import adler32_device_jit
+    from tpuzlib.kernels.crc32_pallas import crc32_device_jit
+
+    for n in (300_000, 1 << 19):
+        d = rng.integers(0, 256, n, dtype=np.uint8)
+        dd = jnp.asarray(d)
+        assert int(crc32_device_jit(dd)) == zlib.crc32(d.tobytes())
+        assert int(adler32_device_jit(dd)) == zlib.adler32(d.tobytes())

@@ -105,6 +105,39 @@ def _kernel_fn(block: int, tile: int):
     return run
 
 
+_scalar_cache = {}
+
+
+def adler32_device_jit(data):
+    """Fully-on-device Adler-32 (seed 1) of a u8 device array.
+
+    One jit program (Pallas per-block (S, W) + in-jit mod combine)
+    returning a u32 device scalar; the in-jit/pipeline form of
+    adler32_device_pallas.  Parity target: src/adler32.ts:26-105."""
+    import jax
+    import jax.numpy as jnp
+
+    n = int(data.shape[0])
+    fn = _scalar_cache.get(n)
+    if fn is None:
+        span = BLOCK * TILE
+        pad = (-n) % span
+        inner = _kernel_fn(BLOCK, TILE)
+
+        @jax.jit
+        def run(d):
+            padded = jnp.pad(d, (pad, 0))
+            s_total, w_total = inner(padded.reshape(-1, BLOCK))
+            s1 = (1 + s_total) % MOD
+            s2 = ((n % MOD) * 1 + w_total) % MOD
+            return (s2.astype(jnp.uint32) << jnp.uint32(16)) | s1.astype(
+                jnp.uint32
+            )
+
+        fn = _scalar_cache[n] = run
+    return fn(data)
+
+
 def adler32_device_pallas(data, seed: int = 1) -> int:
     """Adler-32 with the fused Pallas per-block kernel."""
     import jax.numpy as jnp

@@ -74,6 +74,71 @@ def crc32_pallas_forms(blocks) -> np.ndarray:
     return _kernel_fn(BLOCK, TILE)(blocks)
 
 
+@functools.lru_cache()
+def _combine_matbits(block: int, level: int) -> np.ndarray:
+    """A^(block * 2^level) as a (32, 32) int8 bit matrix for the MXU:
+    row i, col j = bit j of the matrix applied to basis vector e_i."""
+    cols = crc_k._combine_mat(block, level)
+    return ((cols[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1).astype(
+        np.int8
+    )
+
+
+def _gf2_apply_device(jnp, matbits, v):
+    """Apply a 32x32 GF(2) matrix to u32 state vectors on the MXU."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = ((v[:, None] >> shifts[None, :]) & jnp.uint32(1)).astype(jnp.bfloat16)
+    acc = jnp.dot(bits, matbits.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    g = acc.astype(jnp.int32) & 1
+    return jnp.sum(g.astype(jnp.uint32) << shifts[None, :], axis=1,
+                   dtype=jnp.uint32)
+
+
+_scalar_cache = {}
+
+
+def crc32_device_jit(data):
+    """Fully-on-device CRC-32 (seed 0) of a u8 device array.
+
+    Pallas per-block linear forms + an on-device log-depth GF(2) combine
+    (MXU bit-matmuls) + the seed finish — one jit program returning a
+    u32 device scalar.  This is the in-jit/pipeline form of
+    crc32_device_pallas (whose combine runs on host); parity target
+    reference src/crc32.ts:48-106."""
+    import jax
+    import jax.numpy as jnp
+
+    n = int(data.shape[0])
+    fn = _scalar_cache.get(("crc", n))
+    if fn is None:
+        span = BLOCK * TILE
+        pad = (-n) % span
+        nb = (n + pad) // BLOCK
+        size = 1 << max(0, (nb - 1).bit_length())
+        mats = [
+            jnp.asarray(_combine_matbits(BLOCK, lvl))
+            for lvl in range(max(1, size.bit_length() - 1))
+        ]
+        fconst = np.uint32(crc_k.gf2.apply(crc_k.shift_matrix(n), 0xFFFFFFFF))
+
+        @jax.jit
+        def run(d):
+            padded = jnp.pad(d, (pad, 0))
+            g = crc32_pallas_forms(padded.reshape(-1, BLOCK))
+            if size != nb:
+                g = jnp.concatenate(
+                    [jnp.zeros(size - nb, jnp.uint32), g]
+                )
+            for lvl in range(size.bit_length() - 1):
+                g = _gf2_apply_device(jnp, mats[lvl], g[0::2]) ^ g[1::2]
+            raw = g[0] ^ jnp.uint32(fconst)
+            return raw ^ jnp.uint32(0xFFFFFFFF)
+
+        fn = _scalar_cache[("crc", n)] = run
+    return fn(data)
+
+
 def crc32_device_pallas(data, seed: int = 0) -> int:
     """CRC-32 with the Pallas per-block kernel + host combine tree."""
     import jax.numpy as jnp

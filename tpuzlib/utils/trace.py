@@ -66,6 +66,30 @@ def timed_stage(name: str, nbytes: int = 0):
             s[2] += dt
 
 
+_counters: dict = defaultdict(int)
+
+
+def count(name: str, n: int = 1) -> None:
+    """Increment a named event counter (always on — counters are cheap).
+
+    Used for device-dispatch observability: every device-path entry and
+    every host fallback bumps a counter, so a silent regression to 100%
+    fallback is visible (``get_counters()['inflate.device_fallback']``).
+    """
+    with _lock:
+        _counters[name] += n
+
+
+def get_counters() -> dict:
+    with _lock:
+        return dict(_counters)
+
+
+def reset_counters() -> None:
+    with _lock:
+        _counters.clear()
+
+
 @contextlib.contextmanager
 def profile(logdir: str = "/tmp/tpuzlib_profile"):
     """Capture a jax.profiler device trace around a codec region."""
