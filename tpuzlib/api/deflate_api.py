@@ -138,8 +138,94 @@ class Deflater:
         return buffers
 
 
+DEVICE_MIN_BYTES = 4 << 20  # one-shot device dispatch threshold
+
+
+def _device_backend_ready() -> bool:
+    """True when the jax default backend is a TPU.
+
+    TPUZLIB_DEVICE=0 disables device dispatch; =1 forces it (tests).
+    The first call on a TPU host pays backend attach (seconds through a
+    remote tunnel) — acceptable for the >=4 MiB one-shot sizes this
+    gates."""
+    import os
+
+    env = os.environ.get("TPUZLIB_DEVICE", "")
+    if env == "0":
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu" or env == "1"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _deflate_device_oneshot(view, options) -> Optional[np.ndarray]:
+    """Whole-input device compression with host container framing.
+
+    Returns the full wire bytes, or None when the device path declines
+    (backend, size, options, or pathological-data fallback).  Every
+    outcome is counted in utils.trace; fallbacks are logged, never
+    silent (same discipline as the speculative inflate dispatch)."""
+    import os
+
+    from ..utils import trace
+
+    if options.dictionary is not None:
+        return None
+    if len(view) < (
+        1 << 20 if os.environ.get("TPUZLIB_DEVICE") == "1" else DEVICE_MIN_BYTES
+    ):
+        return None
+    if not _device_backend_ready():
+        return None
+    try:
+        from ..kernels.deflate_device3 import deflate_device_v3
+
+        body = deflate_device_v3(np.ascontiguousarray(view), level=options.level)
+        if body is None:
+            trace.count("deflate.device_fallback")
+            import logging
+
+            logging.getLogger("tpuzlib").warning(
+                "device deflate declined (token/output cap); host path used"
+            )
+            return None
+        trace.count("deflate.device", len(view))
+        buffers = []
+        checksum = None
+        if options.format == "deflate":
+            buffers.append(u8_view(make_zlib_header(options.level, None)))
+            checksum = adler32_host(view, 1)
+        elif options.format == "gzip":
+            buffers.append(
+                u8_view(make_gzip_header(options.fileName, level=options.level))
+            )
+            checksum = crc32_host(view, 0)
+        buffers.append(u8_view(body))
+        if options.format == "deflate":
+            buffers.append(u8_view(make_zlib_trailer(checksum)))
+        elif options.format == "gzip":
+            buffers.append(u8_view(make_gzip_trailer(checksum, len(view))))
+        return mergeBuffers(buffers)
+    except Exception as e:  # pragma: no cover - device/runtime faults
+        trace.count("deflate.device_fallback")
+        import logging
+
+        logging.getLogger("tpuzlib").warning(
+            "device deflate failed (%s: %s); falling back to the host path",
+            type(e).__name__, e,
+        )
+        return None
+
+
 def deflate(data, options: DeflaterOptions | None = None, **kwargs) -> np.ndarray:
-    """One-shot compress (parity with sd-deflate.ts:263-274)."""
+    """One-shot compress (parity with sd-deflate.ts:263-274).
+
+    On a TPU host, inputs >= DEVICE_MIN_BYTES route to the v3 device
+    encoder (kernels/deflate_device3.py) with host container framing;
+    anything else (or any device fault) uses the host engine."""
     from ..utils.mem import tune_malloc
 
     tune_malloc()  # large codec buffers must not be munmap'd per call
@@ -147,7 +233,16 @@ def deflate(data, options: DeflaterOptions | None = None, **kwargs) -> np.ndarra
         view = u8_view(data)
     except TypeError:
         raise TypeError("data must be an ArrayBuffer or buffer view")
-    deflater = Deflater(options, **kwargs)
+    deflater = Deflater(options, **kwargs)  # validates options first
+    opts = DeflaterOptions(
+        format=deflater.format,
+        level=deflater.level,
+        dictionary=deflater.dictionary,
+        fileName=deflater.file_name,
+    )
+    out = _deflate_device_oneshot(view, opts)
+    if out is not None:
+        return out
     buffers = deflater.append(view)
     buffers += deflater.finish()
     return mergeBuffers(buffers)

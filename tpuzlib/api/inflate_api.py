@@ -139,6 +139,82 @@ class Inflater:
         )
 
 
+DEVICE_MIN_BYTES = 2 << 20  # compressed-size threshold for device dispatch
+
+
+def _inflate_device_oneshot(input_, dictionary):
+    """Container-aware device decompression (TPU cursor-parallel v2).
+
+    Returns decompressed bytes, or None when the device path declines
+    (backend/size gates or speculation/stored fallback).  Checksum
+    verdicts raise exactly like the host path; fallbacks are counted and
+    logged, never silent."""
+    import os
+    import struct
+
+    from ..utils import trace
+
+    env = os.environ.get("TPUZLIB_DEVICE", "")
+    if env == "0":
+        return None
+    if len(input_) < (1 << 18 if env == "1" else DEVICE_MIN_BYTES):
+        return None
+    try:
+        import jax
+
+        if jax.default_backend() != "tpu" and env != "1":
+            return None
+    except Exception:  # pragma: no cover
+        return None
+    from ..kernels.inflate_device2 import inflate_device_v2
+
+    b0, b1 = int(input_[0]), int(input_[1])
+    try:
+        if b0 == 0x1F and b1 == 0x8B:
+            c = ContainerInflater(raw=False)
+            consumed = c._try_parse_gzip_header(input_)
+            if consumed is None:
+                return None
+            payload = np.ascontiguousarray(input_[consumed:-8])
+            stored_crc, isize = struct.unpack("<II", input_[-8:].tobytes())
+            out = inflate_device_v2(
+                payload, dictionary=dictionary, size_hint=isize + 1024
+            )
+            if out is None:
+                trace.count("inflate.device_fallback")
+                return None
+            from .checksums import crc32
+
+            if crc32(out) != stored_crc or (len(out) & 0xFFFFFFFF) != isize:
+                raise ValueError("Data integrity check failed")
+        elif b0 == 0x78 and ((b0 << 8) + b1) % 31 == 0 and not (b1 & 0x20):
+            payload = np.ascontiguousarray(input_[2:-4])
+            stored_adler = struct.unpack(">I", input_[-4:].tobytes())[0]
+            out = inflate_device_v2(payload, dictionary=dictionary)
+            if out is None:
+                trace.count("inflate.device_fallback")
+                return None
+            from .checksums import adler32
+
+            if adler32(out) != stored_adler:
+                raise ValueError("Data integrity check failed")
+        else:
+            return None  # raw / FDICT containers stay on the host paths
+        trace.count("inflate.device", len(out))
+        return out
+    except ValueError:
+        raise  # real verdicts propagate with reference-parity messages
+    except Exception as e:  # pragma: no cover - device/runtime faults
+        trace.count("inflate.device_fallback")
+        import logging
+
+        logging.getLogger("tpuzlib").warning(
+            "device inflate failed (%s: %s); falling back to host paths",
+            type(e).__name__, e,
+        )
+        return None
+
+
 def inflate(data, dictionary=None) -> np.ndarray:
     """One-shot decompress with container auto-detection.
 
@@ -150,6 +226,11 @@ def inflate(data, dictionary=None) -> np.ndarray:
     input_ = u8_view(data)
     if len(input_) < 2:
         raise ValueError("data buffer is too small")
+    # TPU hosts: large one-shot streams decode on-device (cursor-parallel
+    # v2 kernel) with the same logged-fallback discipline as below
+    device_out = _inflate_device_oneshot(input_, dictionary)
+    if device_out is not None:
+        return device_out
     # many-core hosts: large streams decode via speculative segment
     # parallelism (checksum-verified); a codec-level failure falls back
     # (with a logged warning, never silently) to the standard path for

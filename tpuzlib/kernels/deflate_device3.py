@@ -1,0 +1,760 @@
+"""Device (TPU) deflate v3: sort-carried matching + Pallas screens +
+sort-based histogram/pack.  One jit program encodes a whole batch of
+chunks end-to-end (dynamic trees included) with zero host sync.
+
+Why v3 (measured on the v5e, tools/probe_primitives.py):
+
+  * XLA elementwise storms were the round-2 cost: near_match_dense's 128
+    shifted passes + k-deep probe compares ~250 ms/chunk.  The same
+    compares inside a Pallas VMEM kernel cost ~0.012 ns/elem
+    (screen_pallas.py) — the near band and the sorted-probe screens now
+    run there, with 16-byte verified prefixes.
+  * XLA sorts are cheap (0.13-0.6 ms per 288K) while gather/scatter are
+    7-14 ns/elem, so v3 replaces every large gather/scatter with sorts:
+      - sorted-domain -> position-domain return is a 2-op sort, not a
+        scatter-max;
+      - histograms are sort + boundary-compact, not 288K scatter-adds;
+      - the bit packer is a monotonic bucketed-OR: entry list -> sort by
+        word index -> cumsum -> boundary-compact -> adjacent diff (token
+        bit pieces within one word are disjoint, so sum == or);
+      - per-token code lookups are one-hot MXU matmuls in a Pallas
+        kernel (pack_fields), not 131K-deep gathers.
+  * Long matches resolve via the d-chain: a 16-byte screen that links to
+    the same-distance screen 16 bytes ahead forms a segmented suffix
+    scan (handles runs and any periodic data exactly); only chain-broken
+    >=16 candidates use the gather-based extension, on a compacted list.
+  * The batch is processed FLAT (B*(ctx+N) arrays, chunk id folded into
+    sort keys, per-chunk tables via Pallas grid index_map) — no
+    vmap-of-pallas_call, and fixed XLA op overheads amortize across the
+    batch.
+
+Capability parity: reference longest_match + deflate_slow drivers
+(src/deflate.ts:827-946, :1054-1182), deftree build + send_all_trees
+(src/deftree.ts:190-267, deflate.ts:378-443), bit packer
+(deflate.ts:352-374).  Same forced-segment-break ratio trade as v2
+(SEG=1024).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..codec.lz77 import LEVELS, TOO_FAR
+from ..codec.tables import MAX_MATCH, MIN_MATCH, WINDOW_SIZE
+from . import deflate_device as dd
+from .deflate_device import CTX, SEG, _build_w32, sym_fields_v2
+from .screen_pallas import far_screen, near_screen
+
+# per-level knobs: near-band depth, 4-byte probe depth, 6-byte probe depth
+LEVELS_V3 = {
+    1: dict(nd=8, k4=6, k6=0),
+    2: dict(nd=8, k4=8, k6=0),
+    3: dict(nd=12, k4=12, k6=0),
+    4: dict(nd=16, k4=12, k6=0),
+    5: dict(nd=16, k4=16, k6=0),
+    6: dict(nd=24, k4=24, k6=8),
+    7: dict(nd=24, k4=24, k6=8),
+    8: dict(nd=32, k4=32, k6=16),
+    9: dict(nd=32, k4=48, k6=24),
+}
+
+
+def _jnp():
+    import jax
+    import jax.numpy as jnp
+
+    return jax, jnp
+
+
+def _hash_k(jnp, w0, w1, nbytes, bits):
+    C1 = jnp.uint32(0x9E3779B1)
+    C2 = jnp.uint32(0x85EBCA77)
+    if nbytes == 4:
+        v = w0 * C1
+    else:  # 6 bytes
+        v = w0 * C1 + (w1 & jnp.uint32(0xFFFF)) * C2
+    return ((v * C1) >> jnp.uint32(32 - bits)).astype(jnp.int32)
+
+
+def match_lengths_v3(jax, jnp, data, lim16, limit, mincand, chid, level):
+    """Flat-batched match search over `total = B*(ctx+N)` positions.
+
+    data: (total,) u8; lim16/limit: per-position caps (16 / MAX_MATCH);
+    mincand: lowest valid candidate position per position; chid:
+    per-position chunk id (static constant array).
+    Returns (length, dist) int32 arrays over all positions."""
+    params = LEVELS_V3[level]
+    total = data.shape[0]
+    w0 = _build_w32(jnp, data)
+    w1 = jnp.concatenate([w0[4:], jnp.zeros(4, jnp.uint32)])
+    w2 = jnp.concatenate([w0[8:], jnp.zeros(8, jnp.uint32)])
+    w3 = jnp.concatenate([w0[12:], jnp.zeros(12, jnp.uint32)])
+    pos = jnp.arange(total, dtype=jnp.int32)
+
+    best = near_screen(jax, jnp, w0, w1, w2, w3, mincand, lim16, params["nd"])
+
+    packed_ml = (mincand << 5) | lim16  # mincand < 2^26, lim16 < 32
+    probes = [(4, params["k4"], 16)]
+    if params["k6"]:
+        probes.append((6, params["k6"], 18))
+    for nbytes, k, bits in probes:
+        h = _hash_k(jnp, w0, w1, nbytes, bits)
+        hc = h | (chid << bits)  # chunk-disjoint hash domains
+        sh, sp, s0, s1, s2, s3, sml = jax.lax.sort(
+            (hc, pos, w0, w1, w2, w3, packed_ml), num_keys=1, is_stable=True
+        )
+        fkeys = far_screen(jax, jnp, sh, sp, s0, s1, s2, s3, sml, k)
+        _, fpos = jax.lax.sort((sp, fkeys), num_keys=1, is_stable=True)
+        best = jnp.maximum(best, fpos)
+
+    sc = best >> 16
+    d = jnp.where(best > 0, jnp.int32(0xFFFF) - (best & 0xFFFF), 0)
+
+    # --- d-chain: segmented suffix scan over stride-16 links ------------
+    d16 = jnp.concatenate([d[16:], jnp.zeros(16, jnp.int32)])
+    ch16 = jnp.concatenate([chid[16:], jnp.full(16, -1, jnp.int32)])
+    link = (sc >= 16) & (d > 0) & (d16 == d) & (ch16 == chid)
+
+    # --- residual extension: >=16 screens whose chain breaks -----------
+    need = (sc >= 16) & (d > 0) & ~link & (limit > 16)
+    ext_cap = max(256, total // 32)
+    ekey = jnp.where(need, pos, total)
+    skey, sdist = jax.lax.sort((ekey, d), num_keys=1, is_stable=True)
+    epos = skey[:ext_cap]
+    evalid = epos < total
+    epos_c = jnp.where(evalid, epos, 0)
+    edist = sdist[:ext_cap]
+    elim = jnp.where(evalid, limit[epos_c], 0)
+    w0hi = w1  # (bytes +4..7) pairs with w0 for 8-byte compares
+
+    def cond(state):
+        off, done, _ = state
+        return jnp.logical_not(jnp.all(done))
+
+    def body(state):
+        off, done, elen = state
+        p = jnp.minimum(epos_c + off, total - 1)
+        c = jnp.minimum(epos_c - edist + off, total - 1)
+        xl = w0[p] ^ w0[c]
+        xh = w0hi[p] ^ w0hi[c]
+        lsb = xl & (jnp.uint32(0) - xl)
+        el = (
+            jax.lax.bitcast_convert_type(lsb.astype(jnp.float32), jnp.uint32)
+            >> jnp.uint32(23)
+        ).astype(jnp.int32) - 127
+        czl = jnp.where(xl == 0, 4, el >> 3)
+        lsbh = xh & (jnp.uint32(0) - xh)
+        eh = (
+            jax.lax.bitcast_convert_type(lsbh.astype(jnp.float32), jnp.uint32)
+            >> jnp.uint32(23)
+        ).astype(jnp.int32) - 127
+        czh = jnp.where(xh == 0, 4, eh >> 3)
+        pl8 = jnp.where(xl == 0, 4 + czh, czl)
+        pl8 = jnp.clip(pl8, 0, elim - off)
+        elen = jnp.where(done, elen, off + pl8)
+        done = done | (pl8 < 8) | (off + 8 >= elim) | (off + 8 > MAX_MATCH)
+        return off + 8, done, elen
+
+    _, _, elen = jax.lax.while_loop(
+        cond, body, (jnp.int32(16), ~evalid, jnp.zeros_like(epos_c) + 16)
+    )
+    elen = jnp.where(evalid, jnp.minimum(elen, jnp.minimum(elim, MAX_MATCH)), 16)
+    # fold extension results back via one scatter over a small list
+    base = jnp.where(sc >= 16, 16, sc).astype(jnp.int32)
+    base = base.at[epos_c].max(jnp.where(evalid, elen, 0))
+
+    # segmented suffix scan: ml[i] = base[i] + link[i] * ml[i+16]
+    rows16 = total // 16
+    v = base.reshape(rows16, 16)
+    g = link.astype(jnp.int32).reshape(rows16, 16)
+
+    def comb(a, b):
+        # reverse=True passes a = the later/aggregate operand, b = the
+        # earlier element; suffix recurrence ml[i] = v[i] + g[i]*ml[i+16]
+        va, ga = a
+        vb, gb = b
+        return vb + gb * va, ga * gb
+
+    ml, _ = jax.lax.associative_scan(comb, (v, g), reverse=True, axis=0)
+    length = jnp.minimum(ml.reshape(total), jnp.minimum(limit, MAX_MATCH))
+    length = jnp.where((d > 0) & (length >= MIN_MATCH), length, 0)
+    length = jnp.where((length == MIN_MATCH) & (d > TOO_FAR), 0, length)
+    return length, d
+
+
+def _tokens_v3(jax, jnp, B, ctx, N, data, ctx_valids, n_valids, level):
+    """Match + lazy + segment parse over the flat batch.
+
+    data: (B, ctx+N) u8.  Returns (starts, litlen, dist) as (B, N)."""
+    stride = ctx + N
+    total = B * stride
+    flat = data.reshape(total)
+    li = jnp.arange(stride, dtype=jnp.int32)[None, :]
+    cb = (jnp.arange(B, dtype=jnp.int32) * stride)[:, None]
+    chid = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], (B, stride)
+    ).reshape(total)
+    ev2 = cb + ctx + n_valids[:, None]  # (B, 1) end_valid per chunk
+    mincand = (cb + ctx - ctx_valids[:, None] + 0 * li).reshape(total)
+    gpos2 = cb + li
+    lim16 = jnp.clip(ev2 - gpos2, 0, 16).reshape(total)
+    limit = jnp.clip(ev2 - gpos2, 0, MAX_MATCH).reshape(total)
+
+    length, dist = match_lengths_v3(
+        jax, jnp, flat, lim16, limit, mincand, chid, level
+    )
+
+    # new-position domain (B, N)
+    length = length.reshape(B, stride)[:, ctx:]
+    dist = dist.reshape(B, stride)[:, ctx:]
+
+    eff = length
+    if LEVELS[level].lazy:
+        nxt = jnp.concatenate(
+            [length[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1
+        )
+        defer = (
+            (eff >= MIN_MATCH) & (eff < LEVELS[level].max_lazy) & (nxt > eff)
+        )
+        eff = jnp.where(defer, 0, eff)
+
+    t = jnp.arange(N, dtype=jnp.int32) % SEG
+    room = SEG - t
+    effT = jnp.minimum(eff, room[None, :])
+    eff = jnp.where(effT >= MIN_MATCH, effT, 0)
+    step = jnp.where(eff >= MIN_MATCH, eff, 1)
+
+    flatN = B * N
+    stepf = step.reshape(flatN)
+    nvf = jnp.repeat(n_valids, N)
+    localN = jnp.tile(jnp.arange(N, dtype=jnp.int32), B)
+    if jax.default_backend() == "tpu":
+        from .parse_pallas import segment_parse_pallas as parse
+    else:
+        from .deflate_device import segment_parse_xla as parse
+    # the parse treats the flat array as one stream; SEG divides N so
+    # segment seeds align with chunk starts, and per-chunk n_valid
+    # masking happens here (the parse's own n_valid is the full span)
+    starts = parse(jax, jnp, stepf, flatN, seg=SEG)
+    starts = starts & (localN < nvf)
+    starts = starts.reshape(B, N)
+    litlen = jnp.where(
+        (starts & (eff >= MIN_MATCH)), eff, data[:, ctx:].astype(jnp.int32)
+    )
+    dists = jnp.where(starts & (eff >= MIN_MATCH), dist, 0)
+    return starts, litlen, dists
+
+
+# ---------------------------------------------------------------------------
+# sort-based histogram
+# ---------------------------------------------------------------------------
+
+NGROUP = 320  # >= 287 possible lit symbols + sentinel, padded
+
+
+def _hist_sorted(jax, jnp, B, skey, nbins, nsym_real):
+    """Per-chunk bincount of pre-masked symbol keys.
+
+    skey: (B, T) int32 = chunk*KSPAN + sym, with masked entries mapped to
+    chunk*KSPAN + KSPAN-1 (sentinel; every chunk is guaranteed at least
+    one sentinel entry, which bounds its last real group).  Returns
+    (B, nbins) int32 counts.  KSPAN must exceed nsym_real+1."""
+    T = skey.shape[1]
+    n = B * T
+    flat = jnp.sort(skey.reshape(n))
+    i = jnp.arange(n, dtype=jnp.int32)
+    prev = jnp.concatenate([jnp.full(1, -1, jnp.int32), flat[:-1]])
+    first = flat != prev
+    gkey = jnp.where(first, i, n + i)
+    BIGSYM = jnp.int32((1 << 14) - 1)
+    _, gsym_s, gfirst_s = jax.lax.sort(
+        (gkey, jnp.where(first, flat, BIGSYM), jnp.where(first, i, n)),
+        num_keys=1,
+        is_stable=True,
+    )
+    G = B * NGROUP
+    gsym = gsym_s[:G]
+    gfirst = gfirst_s[:G]
+    gnextfirst = jnp.concatenate([gfirst_s[1 : G + 1]])
+    counts = gnextfirst - gfirst
+    chunk = gsym >> jnp.int32(10)
+    sym = gsym & jnp.int32((1 << 10) - 1)
+    okg = (gsym != BIGSYM) & (sym < nsym_real)
+    out = jnp.zeros((B, nbins), jnp.int32)
+    out = out.at[
+        jnp.where(okg, jnp.minimum(chunk, B - 1), 0),
+        jnp.where(okg, jnp.minimum(sym, nbins - 1), 0),
+    ].add(jnp.where(okg, counts, 0))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pallas pack-fields kernel: token -> (lo, hi, nb) via one-hot MXU lookups
+# ---------------------------------------------------------------------------
+
+PACK_TILE = 512
+
+
+@functools.lru_cache()
+def _pack_fields_kernel(nrows: int, steps_per_chunk: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    NSYM = 384  # 288 lit symbols padded to lane multiple
+    NDSYM = 32
+
+    def kernel(tok_ref, lt_ref, dt_ref, lo_ref, hi_ref, nb_ref):
+        for r in range(8):
+            _row(tok_ref, lt_ref, dt_ref, lo_ref, hi_ref, nb_ref, r)
+
+    def _row(tok_ref, lt_ref, dt_ref, lo_ref, hi_ref, nb_ref, r):
+        tok = tok_ref[r][None, :]  # (1, PACK_TILE) u32
+        litlen = (tok & jnp.uint32(0x1FF)).astype(jnp.int32)
+        is_match = ((tok >> jnp.uint32(9)) & 1) == 1
+        dist = ((tok >> jnp.uint32(10)).astype(jnp.int32) + 1) * is_match
+
+        # arithmetic RFC1951 symbol decomposition (sym_fields_v2 logic)
+        l = jnp.clip(litlen - 3, 0, 255)
+        lf = jnp.maximum(l, 1).astype(jnp.float32)
+        e = (
+            jax.lax.bitcast_convert_type(lf, jnp.uint32) >> jnp.uint32(23)
+        ).astype(jnp.int32) - 127
+        sub = (l >> jnp.maximum(e - 2, 0)) & 3
+        lsym_m = jnp.where(l < 8, 257 + l, jnp.where(l == 255, 285, 253 + 4 * e + sub))
+        lsym = jnp.where(is_match, lsym_m, litlen)
+        lext = jnp.where((l < 8) | (l == 255), 0, jnp.maximum(e - 2, 0))
+        lext = jnp.where(is_match, lext, 0)
+        lext_val = jnp.where(is_match, l & ((1 << lext) - 1), 0).astype(jnp.uint32)
+
+        v = jnp.clip(dist - 1, 0, WINDOW_SIZE - 1)
+        vf = jnp.maximum(v, 1).astype(jnp.float32)
+        ed = (
+            jax.lax.bitcast_convert_type(vf, jnp.uint32) >> jnp.uint32(23)
+        ).astype(jnp.int32) - 127
+        dsym = jnp.where(v < 4, v, 2 * ed + ((v >> jnp.maximum(ed - 1, 0)) & 1))
+        dext = jnp.where((v < 4) | ~is_match, 0, jnp.maximum(ed - 1, 0))
+        dext_val = jnp.where(is_match, v & ((1 << dext) - 1), 0).astype(jnp.uint32)
+
+        # one-hot lookups on the MXU: (syms, tile) x (planes, syms)
+        srow = jax.lax.broadcasted_iota(jnp.int32, (NSYM, PACK_TILE), 0)
+        oh = (srow == jnp.broadcast_to(lsym, (NSYM, PACK_TILE))).astype(jnp.bfloat16)
+        lt = lt_ref[0].astype(jnp.bfloat16)  # (8, NSYM) byte planes
+        lfields = jax.lax.dot_general(
+            lt, oh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(jnp.int32)  # (8, PACK_TILE)
+        drow = jax.lax.broadcasted_iota(jnp.int32, (NDSYM, PACK_TILE), 0)
+        ohd = (drow == jnp.broadcast_to(dsym, (NDSYM, PACK_TILE))).astype(jnp.bfloat16)
+        dt = dt_ref[0].astype(jnp.bfloat16)
+        dfields = jax.lax.dot_general(
+            dt, ohd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
+
+        lcode = (
+            lfields[0:1] | (lfields[1:2] << 8) | (lfields[2:3] << 16)
+        ).astype(jnp.uint32)
+        lbits = lfields[3:4]
+        dcode = (
+            (dfields[0:1] | (dfields[1:2] << 8) | (dfields[2:3] << 16))
+            .astype(jnp.uint32)
+            * is_match
+        )
+        dbits = dfields[3:4] * is_match
+
+        def emit2(lo, hi, nb, val, bits):
+            val = val.astype(jnp.uint32)
+            shc = jnp.clip(nb, 0, 31).astype(jnp.uint32)
+            in_lo = (jnp.where(nb < 32, val, 0) << shc).astype(jnp.uint32)
+            spill = jnp.where((nb > 0) & (nb < 32), val >> (jnp.uint32(32) - shc), 0)
+            in_hi = jnp.where(
+                nb >= 32, val << jnp.clip(nb - 32, 0, 31).astype(jnp.uint32), spill
+            )
+            return lo | in_lo, (hi | in_hi).astype(jnp.uint32), nb + bits
+
+        lo = lcode
+        hi = jnp.zeros_like(lo)
+        nb = lbits
+        lo, hi, nb = emit2(lo, hi, nb, lext_val, lext)
+        lo, hi, nb = emit2(lo, hi, nb, dcode, dbits)
+        lo, hi, nb = emit2(lo, hi, nb, dext_val, dext)
+        lo_ref[r] = lo[0]
+        hi_ref[r] = hi[0]
+        nb_ref[r] = nb[0]
+
+    def run(tok2d, ltab, dtab):
+        # tok2d: (nrows, PACK_TILE) u32; ltab: (B, 8, NSYM) f32; dtab (B, 8, 32)
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((nrows, PACK_TILE), jnp.uint32),
+                jax.ShapeDtypeStruct((nrows, PACK_TILE), jnp.uint32),
+                jax.ShapeDtypeStruct((nrows, PACK_TILE), jnp.int32),
+            ),
+            grid=(nrows // 8,),
+            in_specs=[
+                pl.BlockSpec((8, PACK_TILE), lambda i: (i, 0)),
+                pl.BlockSpec(
+                    (1, 8, NSYM),
+                    lambda i: (i // steps_per_chunk, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 8, NDSYM),
+                    lambda i: (i // steps_per_chunk, 0, 0),
+                ),
+            ],
+            out_specs=(
+                pl.BlockSpec((8, PACK_TILE), lambda i: (i, 0)),
+                pl.BlockSpec((8, PACK_TILE), lambda i: (i, 0)),
+                pl.BlockSpec((8, PACK_TILE), lambda i: (i, 0)),
+            ),
+            interpret=interpret,
+        )(tok2d, ltab, dtab)
+
+    return run
+
+
+def _byte_planes(jnp, codes, bits, nsym_pad):
+    """(B, nsym) code/bits tables -> (B, 8, nsym_pad) f32 byte planes:
+    planes 0..2 = code bytes, plane 3 = bit count, 4..7 zero."""
+    B, nsym = codes.shape
+    planes = jnp.stack(
+        [
+            (codes & jnp.uint32(0xFF)).astype(jnp.float32),
+            ((codes >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.float32),
+            ((codes >> jnp.uint32(16)) & jnp.uint32(0xFF)).astype(jnp.float32),
+            bits.astype(jnp.float32),
+        ],
+        axis=1,
+    )  # (B, 4, nsym)
+    planes = jnp.concatenate([planes, jnp.zeros((B, 4, nsym), jnp.float32)], axis=1)
+    pad = nsym_pad - nsym
+    return jnp.pad(planes, ((0, 0), (0, 0), (0, pad)))
+
+
+# ---------------------------------------------------------------------------
+# the full batched encoder
+# ---------------------------------------------------------------------------
+
+
+def make_encode_batch_v3(level: int, chunk: int, batch: int, out_words: int,
+                         ctx: int = CTX):
+    """encode(data u8[B, ctx+chunk], ctx_valid i32[B], n_valid i32[B],
+    last i32[B]) -> (words u32[B, out_words], total_bits i32[B], ok i32[B])
+
+    ok[b] == 0 when chunk b overflowed the token cap (caller re-encodes
+    that chunk on host — happens only on pathological all-literal data,
+    where a stored block is the right encoding anyway)."""
+    jax, jnp = _jnp()
+    from .huffman_device import (
+        canonical_codes_device,
+        package_merge_device,
+    )
+    from ..codec.tables import CLC_ORDER
+
+    B, N = batch, chunk
+    # multiple of 8*PACK_TILE: the pack kernel grid steps 8 rows at a time
+    T_CAP = max(PACK_TILE * 8, (N // 2 // (PACK_TILE * 8)) * PACK_TILE * 8)
+    HDRF = 338  # 3 + 19 + 316 header fields
+    clc_order = np.asarray(CLC_ORDER)
+
+    @jax.jit
+    def encode(data, ctx_valids, n_valids, lasts):
+        starts, litlen, dist = _tokens_v3(
+            jax, jnp, B, ctx, N, data, ctx_valids, n_valids, level
+        )
+
+        # ---- compact tokens to (B, T_CAP) ------------------------------
+        li = jnp.arange(N, dtype=jnp.int32)
+        key = jnp.where(starts, li[None, :], N + li[None, :])
+        key = key + (jnp.arange(B, dtype=jnp.int32) * (2 * N))[:, None]
+        pay = (
+            litlen.astype(jnp.uint32)
+            | ((dist > 0).astype(jnp.uint32) << jnp.uint32(9))
+            | (jnp.clip(dist - 1, 0, WINDOW_SIZE - 1).astype(jnp.uint32) << jnp.uint32(10))
+        )
+        skey, spay = jax.lax.sort(
+            (key.reshape(B * N), pay.reshape(B * N)), num_keys=1, is_stable=True
+        )
+        tok = spay.reshape(B, N)[:, :T_CAP]
+        M = jnp.sum(starts.astype(jnp.int32), axis=1)  # tokens per chunk
+        ok = (M + 1 < T_CAP).astype(jnp.int32)
+        # EOB (symbol 256, encoded as literal-field 256) + sentinel pads
+        eob_at = jnp.minimum(M, T_CAP - 1)
+        tok = tok.at[jnp.arange(B), eob_at].set(jnp.uint32(256))
+        colt = jnp.arange(T_CAP, dtype=jnp.int32)[None, :]
+        tok = jnp.where(colt > eob_at[:, None], jnp.uint32(511), tok)
+
+        # ---- histograms (sort + boundary compact) ----------------------
+        tlit = (tok & jnp.uint32(0x1FF)).astype(jnp.int32)
+        tmatch = ((tok >> jnp.uint32(9)) & 1).astype(jnp.int32)
+        tdist = ((tok >> jnp.uint32(10)).astype(jnp.int32) + 1) * tmatch
+        lsym, _, _, dsym, _, _ = sym_fields_v2(
+            jax, jnp, jnp.where(tmatch == 1, tlit, tlit), tdist, tmatch == 1
+        )
+        lsym = jnp.where(tlit == 511, 1023, lsym)  # sentinel
+        KSPAN = 1 << 10
+        cb = (jnp.arange(B, dtype=jnp.int32) * KSPAN)[:, None]
+        lit_freq = _hist_sorted(
+            jax, jnp, B, jnp.minimum(lsym, KSPAN - 1) + cb, 286, 286
+        )
+        dkey = jnp.where(tmatch == 1, dsym, KSPAN - 1)
+        dist_freq = _hist_sorted(jax, jnp, B, dkey + cb, 30, 30)
+
+        # ---- trees (batched package-merge) -----------------------------
+        both = jnp.concatenate(
+            [lit_freq, jnp.pad(dist_freq, ((0, 0), (0, 256)))], axis=0
+        )  # (2B, 286)
+        lens = jax.vmap(lambda f: package_merge_device(jax, jnp, f, 15))(both)
+        ll = lens[:B]
+        dl = lens[B:, :30]
+        codes = jax.vmap(lambda l: canonical_codes_device(jax, jnp, l))(lens)
+        lcodes = codes[:B]
+        dcodes = codes[B:, :30]
+
+        # ---- dynamic header fields with RLE (per chunk) ----------------
+        # the code-length sequence is RLE'd with symbols 16/17/18 exactly
+        # as reference deflate.ts scan_tree/send_tree (:267-312,:378-443):
+        # runs never cross the lit/dist tree boundary.
+        all_lengths = jnp.concatenate([ll, dl], axis=1)  # (B, 316)
+        P = 316
+        pidx = jnp.arange(P, dtype=jnp.int32)[None, :]
+        prev = jnp.concatenate(
+            [jnp.full((B, 1), -1, jnp.int32), all_lengths[:, :-1]], axis=1
+        )
+        change = (all_lengths != prev) | (pidx == 0) | (pidx == 286)
+        run_start = jax.lax.cummax(jnp.where(change, pidx, -1), axis=1)
+        nxt = jnp.flip(
+            jax.lax.cummin(
+                jnp.flip(jnp.where(change, pidx, P), axis=1), axis=1
+            ),
+            axis=1,
+        )
+        next_change = jnp.concatenate(
+            [nxt[:, 1:], jnp.full((B, 1), P, jnp.int32)], axis=1
+        )
+        L = next_change - run_start
+        j = pidx - run_start
+        v = all_lengths
+        # zero runs: k full 18x138 chunks, then 18/17/plain by remainder
+        kz = L // 138
+        rz = L % 138
+        n18 = kz + (rz >= 11)
+        is18 = (v == 0) & (j % 138 == 0) & (j // 138 < n18)
+        size18 = jnp.minimum(138, L - j)
+        is17 = (v == 0) & (rz >= 3) & (rz <= 10) & (j == kz * 138)
+        isp0 = (v == 0) & (rz >= 1) & (rz <= 2) & (j >= kz * 138)
+        # nonzero runs: first emits the value, rest covered by 16s
+        m = L - 1
+        k6 = m // 6
+        r6 = m % 6
+        n16 = k6 + (r6 >= 3)
+        j1 = j - 1
+        is16 = (v != 0) & (j >= 1) & (j1 % 6 == 0) & (j1 // 6 < n16)
+        size16 = jnp.minimum(6, m - j1)
+        ispv = (v != 0) & (
+            (j == 0) | ((j >= 1) & (r6 >= 1) & (r6 <= 2) & (j1 >= k6 * 6))
+        )
+        emit = is18 | is17 | is16 | isp0 | ispv
+        sym = jnp.where(
+            is18, 18,
+            jnp.where(is17, 17, jnp.where(is16, 16, jnp.where(isp0, 0, v))),
+        )
+        extra_bits = jnp.where(is18, 7, jnp.where(is17, 3, jnp.where(is16, 2, 0)))
+        extra_val = jnp.where(
+            is18, size18 - 11,
+            jnp.where(is17, rz - 3, jnp.where(is16, size16 - 3, 0)),
+        )
+
+        cl_freq = jnp.zeros((B, 19), jnp.int32).at[
+            jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, P)),
+            jnp.where(emit, sym, 0),
+        ].add(emit.astype(jnp.int32))
+        cl_len = jax.vmap(lambda f: package_merge_device(jax, jnp, f, 7))(cl_freq)
+        cl_codes = jax.vmap(lambda l: canonical_codes_device(jax, jnp, l))(cl_len)
+        clo = jnp.asarray(clc_order)
+        sym_c = jnp.where(emit, sym, 0)
+        fbits = jnp.take_along_axis(cl_len, sym_c, axis=1)
+        fcodes = jnp.take_along_axis(cl_codes, sym_c, axis=1)
+        fval = fcodes | (
+            extra_val.astype(jnp.uint32) << fbits.astype(jnp.uint32)
+        )
+        hdr_vals = jnp.concatenate(
+            [
+                jnp.broadcast_to(jnp.array([29, 29, 15], jnp.uint32), (B, 3)),
+                cl_len[:, clo].astype(jnp.uint32),
+                jnp.where(emit, fval, 0),
+            ],
+            axis=1,
+        )  # (B, 338)
+        hdr_bits = jnp.concatenate(
+            [
+                jnp.broadcast_to(jnp.array([5, 5, 4], jnp.int32), (B, 3)),
+                jnp.broadcast_to(jnp.full((1, 19), 3, jnp.int32), (B, 19)),
+                jnp.where(emit, fbits + extra_bits, 0),
+            ],
+            axis=1,
+        )
+
+        # ---- per-token fields (Pallas one-hot MXU lookups) -------------
+        ltab = _byte_planes(jnp, lcodes, ll, 384)
+        dtab = _byte_planes(jnp, dcodes, dl, 32)
+        nrows = B * T_CAP // PACK_TILE
+        interpret = jax.default_backend() != "tpu"
+        lo_t, hi_t, nb_t = _pack_fields_kernel(
+            nrows, T_CAP // PACK_TILE // 8, interpret
+        )(tok.reshape(nrows, PACK_TILE), ltab, dtab)
+        lo_t = lo_t.reshape(B, T_CAP)
+        hi_t = hi_t.reshape(B, T_CAP)
+        nb_t = nb_t.reshape(B, T_CAP)
+
+        # ---- unified field stream: head3 | header | tokens -------------
+        head3 = (jnp.uint32(4) | lasts.astype(jnp.uint32))[:, None]
+        all_lo = jnp.concatenate([head3, hdr_vals, lo_t], axis=1)
+        all_hi = jnp.concatenate(
+            [jnp.zeros((B, 1 + HDRF), jnp.uint32), hi_t], axis=1
+        )
+        all_nb = jnp.concatenate(
+            [jnp.full((B, 1), 3, jnp.int32), hdr_bits, nb_t], axis=1
+        )
+        offsets = jnp.cumsum(all_nb, axis=1) - all_nb
+        total_bits = offsets[:, -1] + all_nb[:, -1]
+
+        # ---- bucketed-OR bit pack (sort + cumsum + compact) ------------
+        F = 1 + HDRF + T_CAP
+        idx = (offsets >> 5).astype(jnp.int32)
+        sh = (offsets & 31).astype(jnp.uint32)
+        p0 = (all_lo << sh).astype(jnp.uint32)
+        p1 = (
+            jnp.where(sh > 0, all_lo >> (jnp.uint32(32) - sh), 0)
+            | (all_hi << sh)
+        ).astype(jnp.uint32)
+        p2 = jnp.where(sh > 0, all_hi >> (jnp.uint32(32) - sh), jnp.uint32(0))
+        wb = (jnp.arange(B, dtype=jnp.int32) * out_words)[:, None]
+        # clip to the out_words window; idx for zero-width fields dedups
+        e_idx = jnp.concatenate(
+            [
+                wb + jnp.minimum(idx, out_words - 1),
+                wb + jnp.minimum(idx + 1, out_words - 1),
+                wb + jnp.minimum(idx + 2, out_words - 1),
+                wb + jnp.broadcast_to(
+                    jnp.arange(out_words, dtype=jnp.int32)[None, :], (B, out_words)
+                ),
+            ],
+            axis=1,
+        ).reshape(-1)
+        e_val = jnp.concatenate(
+            [p0, p1, p2, jnp.zeros((B, out_words), jnp.uint32)], axis=1
+        ).reshape(-1)
+        sidx, sval = jax.lax.sort((e_idx, e_val), num_keys=1, is_stable=True)
+        cum = jnp.cumsum(sval, dtype=jnp.uint32)
+        n_e = e_idx.shape[0]
+        nxt = jnp.concatenate([sidx[1:], jnp.full(1, -1, jnp.int32)])
+        bound = sidx != nxt
+        bkey = jnp.where(bound, jnp.arange(n_e, dtype=jnp.int32), n_e)
+        _, bcum = jax.lax.sort((bkey, cum), num_keys=1, is_stable=True)
+        wcum = bcum[: B * out_words]
+        prev = jnp.concatenate([jnp.zeros(1, jnp.uint32), wcum[:-1]])
+        words = (wcum - prev).reshape(B, out_words)
+
+        ok = ok & (total_bits <= out_words * 32 - 64).astype(jnp.int32)
+        return words, total_bits, ok
+
+    return encode
+
+
+# ---------------------------------------------------------------------------
+# host orchestration
+# ---------------------------------------------------------------------------
+
+_cache: dict = {}
+
+
+def _get(key, builder):
+    if key not in _cache:
+        _cache[key] = builder()
+    return _cache[key]
+
+
+def deflate_device_v3(
+    data: np.ndarray, level: int = 6, chunk: int = 1 << 18, batch: int = 8
+):
+    """Round-3 device deflate: the batched v3 encoder + host bit join.
+
+    Returns raw DEFLATE bytes, or None when any chunk overflowed the
+    token/output caps (pathological near-incompressible data — callers
+    fall back to the host engine, which will choose stored blocks)."""
+    import jax.numpy as jnp
+
+    from ..codec.bitsink import BitSink
+    from .deflate_device import _push_words
+
+    n = len(data)
+    nchunks = max(1, -(-n // chunk))
+    batch = min(batch, nchunks)
+    out_words = min(chunk + 4, (chunk * 10) // 32 + 64)
+    enc = _get(
+        ("enc3", level, chunk, batch, out_words),
+        lambda: make_encode_batch_v3(level, chunk, batch, out_words),
+    )
+
+    sink = BitSink()
+    results = []
+    for g in range(0, nchunks, batch):
+        group = list(range(g, min(g + batch, nchunks)))
+        bufs = np.zeros((batch, CTX + chunk), dtype=np.uint8)
+        cv = np.zeros(batch, dtype=np.int32)
+        nv = np.zeros(batch, dtype=np.int32)
+        lv = np.zeros(batch, dtype=np.int32)
+        for bi, ci in enumerate(group):
+            lo, hi = ci * chunk, min(ci * chunk + chunk, n)
+            ctxb = data[max(0, lo - CTX) : lo]
+            if len(ctxb):
+                bufs[bi, CTX - len(ctxb) : CTX] = ctxb
+            bufs[bi, CTX : CTX + hi - lo] = data[lo:hi]
+            cv[bi] = len(ctxb)
+            nv[bi] = hi - lo
+            lv[bi] = 1 if ci == nchunks - 1 else 0
+        results.append(
+            (
+                group,
+                enc(jnp.asarray(bufs), jnp.asarray(cv), jnp.asarray(nv),
+                    jnp.asarray(lv)),
+            )
+        )
+    for group, (words, total_bits, ok) in results:
+        words = np.asarray(words)
+        total_bits = np.asarray(total_bits)
+        okh = np.asarray(ok)
+        for bi, ci in enumerate(group):
+            lo, hi = ci * chunk, min(ci * chunk + chunk, n)
+            nv_b = hi - lo
+            nstored = max(1, -(-nv_b // 65535))
+            stored_bits = 8 * nv_b + nstored * (3 + 32) + 8
+            if okh[bi] and int(total_bits[bi]) <= stored_bits:
+                _push_words(sink, words[bi], int(total_bits[bi]))
+            else:
+                # incompressible chunk: stored blocks beat any token tape
+                # (reference _tr_flush_block stored choice, deflate.ts:648)
+                _push_stored(sink, data[lo:hi], ci == nchunks - 1)
+    out, _, _ = sink.flush(final=True)
+    return out
+
+
+def _push_stored(sink, chunk_bytes: np.ndarray, is_last: bool) -> None:
+    """Emit byte-aligned stored blocks for one chunk."""
+    nv = len(chunk_bytes)
+    off = 0
+    while True:
+        blk = min(65535, nv - off)
+        final = is_last and (off + blk == nv)
+        sink.push_scalar(1 if final else 0, 1)
+        sink.push_scalar(0, 2)
+        sink.align_byte()
+        sink.push_scalar(blk | ((~blk & 0xFFFF) << 16), 32)
+        sink.push_bytes(np.asarray(chunk_bytes[off : off + blk]))
+        off += blk
+        if off >= nv:
+            break
