@@ -59,12 +59,29 @@ def test_single_and_fixed_blocks():
     assert bytes(out) == b"abcd" * 64
 
 
-def test_incompressible_falls_back():
+def test_incompressible_decodes_on_device():
+    """Stored blocks decode via the transparent byte LUT (round 3) —
+    no host fallback (reference inline path: infblocks.ts:243-333)."""
     rng = np.random.default_rng(0)
     blob = rng.integers(0, 256, 1 << 16, dtype=np.uint8).tobytes()
     zc = zlib.compress(blob, 6)  # stored blocks
     out = inflate_device_v2(_raw(zc[2:-4]))
-    assert out is None  # caller falls back to the host engine
+    assert out is not None and bytes(out) == blob
+
+
+def test_mixed_stored_and_huffman_decodes_on_device(paradiselost):
+    """Stored runs hidden behind Huffman blocks (invisible to
+    discovery) splice in via the early-EOB host gap walk."""
+    rng = np.random.default_rng(5)
+    src = (
+        paradiselost[:150000]
+        + rng.integers(0, 256, 120000, dtype=np.uint8).tobytes()
+        + b"\x00" * 50000
+        + paradiselost[:100000]
+    )
+    zc = zlib.compress(src, 6)
+    out = inflate_device_v2(_raw(zc[2:-4]), size_hint=len(src) + 1024)
+    assert out is not None and bytes(out) == src
 
 
 def test_dictionary(paradiselost):

@@ -191,6 +191,18 @@ def make_cursor_tokenize(K: int, CAP: int):
     return tok
 
 
+@functools.lru_cache()
+def stored_lut() -> np.ndarray:
+    """Transparent LUT: decodes 8 raw bits as a literal byte.
+
+    Stored-block data is byte-aligned (infblocks.ts:243-333), so a
+    cursor whose lit-LUT is this table tokenizes a stored block's bytes
+    as literals with the SAME decode loop as Huffman blocks — stored
+    regions become just another cursor region, no host fallback."""
+    i = np.arange(32768, dtype=np.uint32)
+    return ((i & 0xFF) | (8 << NB_SHIFT)).astype(np.uint32)
+
+
 def _parse_gap(buf: np.ndarray, bit: int, avail_bits: int):
     """Parse zero or more EMPTY stored blocks (sync-flush markers) from
     `bit`.  Returns (next_bit, final) where final=True when a BFINAL
@@ -206,11 +218,53 @@ def _parse_gap(buf: np.ndarray, bit: int, avail_bits: int):
             reader.align_byte()
             length = reader.bits(16)
             nlen = reader.bits(16)
-            if length != (~nlen & 0xFFFF) or length != 0:
+            if length != (~nlen & 0xFFFF):
                 return None
+            if length != 0:
+                # non-empty stored block: not a sync marker — the block
+                # planner decodes it via the transparent LUT
+                return bit, final
             bit = reader.pos
             if last:
                 return bit, True
+        except (tk.DataError, tk.NeedMoreInput):
+            return None
+
+
+def _walk_gap(buf: np.ndarray, bit: int, avail_bits: int,
+              stop_at: int | None = None):
+    """Walk a run of sync markers AND non-empty stored blocks from `bit`.
+
+    Returns (next_bit, final, ranges) where ranges is a list of
+    (byte_start, length) for the stored payloads crossed, next_bit is
+    the first non-type-0 header (or the end-of-walk position when
+    final), or None on malformed data.  This is how inter-block stored
+    runs — invisible to speculative discovery — get decoded: the host
+    splices their bytes into the token tape as literals
+    (reference inline handling: infblocks.ts:243-333)."""
+    ranges = []
+    while True:
+        if stop_at is not None and bit == stop_at:
+            return bit, False, ranges
+        reader = tk.BitReader(buf, bit, avail_bits)
+        try:
+            last = reader.bits(1)
+            btype = reader.bits(2)
+            if btype != 0:
+                return bit, False, ranges
+            reader.align_byte()
+            length = reader.bits(16)
+            nlen = reader.bits(16)
+            if length != (~nlen & 0xFFFF):
+                return None
+            byte_pos = reader.pos >> 3
+            if byte_pos + length > len(buf):
+                return None
+            if length:
+                ranges.append((byte_pos, length))
+            bit = (byte_pos + length) * 8
+            if last:
+                return bit, True, ranges
         except (tk.DataError, tk.NeedMoreInput):
             return None
 
@@ -219,7 +273,7 @@ def _plan_blocks(buf: np.ndarray):
     """Host pass 1: discover block headers and build per-block LUTs.
 
     Returns a list of [header_bit, data_start_bit, stop_bit, luts,
-    bfinal, open_end].  stop_bit is the position of the NEXT discovered
+    bfinal, open_end, is_stored].  stop_bit is the position of the NEXT discovered
     header (the block's symbols must end at or before it, with only
     empty-stored sync markers in between).  open_end=True means
     discovery could not see past this block — the caller decodes the
@@ -241,6 +295,27 @@ def _plan_blocks(buf: np.ndarray):
         try:
             last = reader.bits(1)
             btype = reader.bits(2)
+            if btype == 0:
+                # non-empty stored block: bytes decode via the
+                # transparent LUT; the next header position is exact
+                reader.align_byte()
+                length = reader.bits(16)
+                nlen = reader.bits(16)
+                if length != (~nlen & 0xFFFF):
+                    return blocks or None
+                data_start = reader.pos
+                end = data_start + 8 * length
+                if end > avail_bits:
+                    return blocks or None
+                blocks.append(
+                    [header_bit, data_start, end,
+                     (stored_lut(), np.zeros(32768, np.uint32)),
+                     bool(last), False, True]
+                )
+                if last:
+                    break
+                bit = end
+                continue
             if btype == 1:
                 luts = (fixed_litlen_lut(), fixed_dist_lut())
             elif btype == 2:
@@ -251,7 +326,9 @@ def _plan_blocks(buf: np.ndarray):
             return blocks or None
         data_start = reader.pos
         if last:
-            blocks.append([header_bit, data_start, avail_bits, luts, True, False])
+            blocks.append(
+                [header_bit, data_start, avail_bits, luts, True, False, False]
+            )
             break
         # find the next dynamic header (final ones included — the block
         # planner, unlike segment decoding, handles BFINAL blocks).  Scan
@@ -268,9 +345,11 @@ def _plan_blocks(buf: np.ndarray):
             from_byte += scan - 8 if nxt is None else max((nxt >> 3) + 1 - from_byte, 1)
             nxt = None
         if nxt is None or nxt <= data_start:
-            blocks.append([header_bit, data_start, avail_bits, luts, False, True])
+            blocks.append(
+                [header_bit, data_start, avail_bits, luts, False, True, False]
+            )
             break
-        blocks.append([header_bit, data_start, nxt, luts, False, False])
+        blocks.append([header_bit, data_start, nxt, luts, False, False, False])
         bit = nxt
     return blocks or None
 
@@ -294,7 +373,8 @@ def make_splice_compact(K: int, CAP: int):
 
     @jax.jit
     def splice(tok_pack, tok_bp, cnt, end_pos, status, stops,
-               block_starts, is_block_first, is_block_last, active):
+               block_starts, is_block_first, is_block_last, expect_eob,
+               active):
         bp2 = tok_bp.reshape(K, CAP)
         # candidate cut positions: cursor k's recorded starts >= stop_k
         jstop = jax.vmap(jnp.searchsorted)(bp2, stops).astype(jnp.int32)
@@ -312,15 +392,28 @@ def make_splice_compact(K: int, CAP: int):
             & (mloc < cnt_next[:, None])
             & (mhit == cand)
         )
-        # boundary k -> k+1 exists only within a block
+        # early in-block EOB: the block really ended before this cursor's
+        # planned span (an undiscoverable stored run follows — the host
+        # walks it, infblocks.ts:243-333 semantics).  Cursors after the
+        # first EOB within a block decoded garbage: drop them entirely.
+        eobf = active & (status == ST_EOB)
+        c = jnp.cumsum(eobf.astype(jnp.int32))
+        base = jax.lax.cummax(
+            jnp.where(is_block_first, c - eobf.astype(jnp.int32), 0)
+        )
+        garbage = active & ((c - eobf.astype(jnp.int32) - base) > 0)
+        efflast = ~garbage & (eobf | is_block_last)
+
+        # boundary k -> k+1 exists only within a block, between live
+        # cursors (an efflast cursor keeps everything it decoded)
         next_first = jnp.concatenate([is_block_first[1:], jnp.ones(1, bool)])
-        boundary = active & ~next_first  # cursor k is not last in its block
+        boundary = active & ~garbage & ~efflast & ~next_first
         any_common = jnp.any(common, axis=1)
         first_c = jnp.argmax(common, axis=1).astype(jnp.int32)
         jcut = jnp.where(
             boundary & any_common,
             jstop + first_c,
-            cnt,  # block-last cursors keep everything they decoded
+            cnt,  # effective block-last cursors keep everything
         )
         jentry_next = jnp.take_along_axis(
             mloc, first_c[:, None], axis=1
@@ -340,20 +433,22 @@ def make_splice_compact(K: int, CAP: int):
                 == block_starts
             )
         )
-        good_status = jnp.where(
-            is_block_last, status == ST_EOB, status == ST_STRIDE_END
+        good_status = (
+            garbage
+            | eobf
+            | ((status == ST_STRIDE_END) & ~(is_block_last & expect_eob))
         )
         ok = jnp.all(
             (
                 good_status
-                & (anchored | (~is_block_first & prev_boundary_ok))
+                & (anchored | (~is_block_first & prev_boundary_ok) | garbage)
                 & (~boundary | any_common)
             )
             | ~active
         )
 
-        keep_lo = jnp.where(active, jlo, CAP)
-        keep_hi = jnp.where(active, jnp.minimum(jcut, cnt), 0)
+        keep_lo = jnp.where(active & ~garbage, jlo, CAP)
+        keep_hi = jnp.where(active & ~garbage, jnp.minimum(jcut, cnt), 0)
         col = jnp.arange(CAP, dtype=jnp.int32)[None, :]
         mask = (col >= keep_lo[:, None]) & (col < keep_hi[:, None])
         flat_mask = mask.reshape(K * CAP)
@@ -362,7 +457,8 @@ def make_splice_compact(K: int, CAP: int):
         comp = jnp.zeros(K * CAP, jnp.uint32).at[
             jnp.where(flat_mask, offs, K * CAP - 1)
         ].max(jnp.where(flat_mask, tok_pack, 0))
-        return ok.astype(jnp.int32), M, comp
+        kcnt = jnp.clip(keep_hi - keep_lo, 0, CAP)
+        return ok.astype(jnp.int32), M, comp, kcnt
 
     return splice
 
@@ -433,12 +529,16 @@ def _cursor_plan(buf: np.ndarray, stride_bits: int, max_cursors: int):
     if plan is None:
         return None
     starts, stops, block_of = [], [], []
-    first, last, bstart = [], [], []
+    first, last, bstart, stored_f = [], [], [], []
     for b, p in enumerate(plan):
-        _, ds, stop, _, _, _ = p
+        _, ds, stop, _, _, _, is_stored = p
         span = max(1, stop - ds)
         nseg = max(1, min(-(-span // stride_bits), max_cursors))
         bounds = [ds + (span * i) // nseg for i in range(nseg)]
+        if is_stored:
+            # stored data is byte-aligned: cursor starts must be too
+            bounds = sorted({ds + (((bb - ds) >> 3) << 3) for bb in bounds})
+            nseg = len(bounds)
         for i, s in enumerate(bounds):
             starts.append(s)
             stops.append(bounds[i + 1] if i + 1 < nseg else stop)
@@ -446,6 +546,7 @@ def _cursor_plan(buf: np.ndarray, stride_bits: int, max_cursors: int):
             first.append(i == 0)
             last.append(i == nseg - 1)
             bstart.append(ds)
+            stored_f.append(is_stored)
     K = len(starts)
     if K > max_cursors:
         return None
@@ -457,7 +558,7 @@ def _cursor_plan(buf: np.ndarray, stride_bits: int, max_cursors: int):
     out.block_of = block_of
     out.luts_lit = np.concatenate([p[3][0] for p in plan])
     out.luts_dist = np.concatenate([p[3][1] for p in plan])
-    out.meta = (first, last, bstart, plan)
+    out.meta = (first, last, bstart, plan, stored_f)
     return out
 
 
@@ -506,14 +607,19 @@ def inflate_device_v2(
     starts_a[:K] = cp.starts
     stops_a[:K] = cp.stops
     block_a[:K] = cp.block_of
-    stops_dec = stops_a + OVERLAP
-    first, last, bstart, plan = cp.meta
+    first, last, bstart, plan, stored_f = cp.meta
     # padding rows count as block-firsts so a real block-last cursor
     # followed by padding is not mistaken for an intra-block boundary
     first_a = np.ones(Kpad, bool); first_a[:K] = first
     last_a = np.ones(Kpad, bool); last_a[:K] = last
     bstart_a = np.zeros(Kpad, np.int32); bstart_a[:K] = bstart
     active_a = np.zeros(Kpad, bool); active_a[:K] = True
+    stored_a = np.zeros(Kpad, bool); stored_a[:K] = stored_f
+    # stored-block last cursors must stop exactly at the block end (their
+    # decode is deterministic; overlap would swallow the next header as
+    # fake literals); everyone else decodes OVERLAP bits past the stop
+    stops_dec = np.where(last_a & stored_a, stops_a, stops_a + OVERLAP)
+    expect_eob_a = last_a & ~stored_a
 
     w32 = _build_w32(jnp, jnp.asarray(buf))
     if mesh is None:
@@ -553,29 +659,45 @@ def inflate_device_v2(
             jnp.asarray(cp.luts_dist),
         )
     splice = make_splice_compact(Kpad, CAP)
-    ok, M, comp = splice(
+    ok, M, comp, kcnt = splice(
         tok_pack, tok_bp, cnt, end_pos, status,
         jnp.asarray(stops_a), jnp.asarray(bstart_a), jnp.asarray(first_a),
-        jnp.asarray(last_a), jnp.asarray(active_a),
+        jnp.asarray(last_a), jnp.asarray(expect_eob_a),
+        jnp.asarray(active_a),
     )
     if int(ok) != 1:
         return None
 
     # host validation of block chaining: between block b's EOB and block
-    # b+1's header there may only be empty-stored sync markers
+    # b+1's header there may be sync markers AND non-empty stored runs
+    # (the latter invisible to discovery — their bytes splice in below)
     end_np = np.asarray(end_pos)[:K]
-    block_last_idx = [
-        k for k in range(K) if last[k]
-    ]
+    st_np = np.asarray(status)[:K]
+    blk_np = np.asarray(cp.block_of[:K])
+    # effective block end: the FIRST cursor that hit EOB (early in-block
+    # EOB means a stored run follows), else the planned block-last cursor
+    block_last_idx = []
+    for b in range(len(plan)):
+        idxs = np.flatnonzero(blk_np == b)
+        hits = idxs[st_np[idxs] == ST_EOB]
+        block_last_idx.append(int(hits[0]) if len(hits) else int(idxs[-1]))
     tail_tokens = None
+    insertions: dict[int, list] = {}
     for bi, k in enumerate(block_last_idx):
         block_end = int(end_np[k])
         is_final_planned = bi == len(block_last_idx) - 1
-        _, _, _, _, bfinal, open_end = plan[bi]
+        _, _, _, _, bfinal, open_end, _ = plan[bi]
         if not is_final_planned:
-            gap = _parse_gap(buf, block_end, avail_bits)
-            if gap is None or gap[1] or gap[0] != plan[bi + 1][0]:
+            walk = _walk_gap(
+                buf, block_end, avail_bits, stop_at=plan[bi + 1][0]
+            )
+            if walk is None:
                 return None
+            nxt_bit, final, ranges = walk
+            if final or nxt_bit != plan[bi + 1][0]:
+                return None
+            if ranges:
+                insertions[bi] = ranges
         else:
             if bfinal:
                 pass  # stream ends with this block
@@ -590,20 +712,41 @@ def inflate_device_v2(
                     return None
                 tail_tokens = (litlen_t, dist_t)
             else:
-                gap = _parse_gap(buf, block_end, avail_bits)
-                if gap is None or not gap[1]:
+                walk = _walk_gap(buf, block_end, avail_bits)
+                if walk is None or not walk[1]:
                     return None
+                if walk[2]:
+                    insertions[bi] = walk[2]
 
     window = (
         dictionary[-((1 << 15) - 1):].astype(np.uint8)
         if dictionary is not None and len(dictionary)
         else np.empty(0, np.uint8)
     )
-    if not device_expand or tail_tokens is not None:
+    if not device_expand or tail_tokens is not None or insertions:
         comph = np.asarray(comp)[: int(M)]
         is_m = (comph >> 25) & 1
         litlen = (comph & 0x1FF).astype(np.int32)
         dist = np.where(is_m == 1, (comph >> 9) & 0xFFFF, 0).astype(np.int32)
+        if insertions:
+            # token count per planned block -> insertion offsets
+            kc = np.asarray(kcnt)[:K].astype(np.int64)
+            blk = np.asarray(cp.block_of, np.int64)
+            per_block = np.bincount(blk, weights=kc, minlength=len(plan))
+            block_end_tok = np.cumsum(per_block).astype(np.int64)
+            lparts, dparts, prev = [], [], 0
+            for bi in sorted(insertions):
+                cut = int(block_end_tok[bi])
+                lparts.append(litlen[prev:cut])
+                dparts.append(dist[prev:cut])
+                for (bs, ln) in insertions[bi]:
+                    lparts.append(buf[bs : bs + ln].astype(np.int32))
+                    dparts.append(np.zeros(ln, np.int32))
+                prev = cut
+            lparts.append(litlen[prev:])
+            dparts.append(dist[prev:])
+            litlen = np.concatenate(lparts)
+            dist = np.concatenate(dparts)
         if tail_tokens is not None:
             litlen = np.concatenate([litlen, tail_tokens[0]])
             dist = np.concatenate([dist, tail_tokens[1]])
