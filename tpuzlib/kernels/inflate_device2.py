@@ -562,6 +562,41 @@ def _cursor_plan(buf: np.ndarray, stride_bits: int, max_cursors: int):
     return out
 
 
+@functools.lru_cache()
+def make_inflate_fused(K: int, CAP: int, out_cap: int):
+    """ONE-dispatch tokenize + splice + expand (round 3).
+
+    Through the remote tunnel every dispatch costs ~24 ms and the old
+    three-dispatch pipeline also synced on int(ok) mid-flight; this
+    single jit program returns a small meta vector
+    [ok, M, total, end_pos(K), status(K), kcnt(K)] plus the expanded
+    output and the compact tape (pulled lazily only on the host-expand
+    paths)."""
+    jax, jnp = _jnp()
+    splice = make_splice_compact(K, CAP)
+    expand = make_expand_v2(K * CAP, out_cap)
+
+    @jax.jit
+    def run(w32, starts, stops_dec, block_of, luts_lit, luts_dist,
+            avail_bits, stops, block_starts, first, last, expect_eob,
+            active, win):
+        tok_pack, tok_bp, cnt, end_pos, status = cursor_tokenize_body(
+            jax, jnp, CAP, w32, starts, stops_dec, block_of,
+            luts_lit, luts_dist, avail_bits,
+        )
+        ok, M, comp, kcnt = splice(
+            tok_pack, tok_bp, cnt, end_pos, status, stops, block_starts,
+            first, last, expect_eob, active,
+        )
+        out, total = expand(comp, M, win)
+        meta = jnp.concatenate(
+            [jnp.stack([ok, M, total]), end_pos, status, kcnt]
+        )
+        return meta, out, comp
+
+    return run
+
+
 def inflate_device_v2(
     data: np.ndarray,
     dictionary: np.ndarray | None = None,
@@ -622,57 +657,100 @@ def inflate_device_v2(
     expect_eob_a = last_a & ~stored_a
 
     w32 = _build_w32(jnp, jnp.asarray(buf))
-    if mesh is None:
-        tokf = make_cursor_tokenize(Kpad, CAP)
-        tok_pack, tok_bp, cnt, end_pos, status = tokf(
-            w32,
-            jnp.asarray(starts_a),
-            jnp.asarray(stops_dec),
-            jnp.asarray(block_a),
-            jnp.asarray(cp.luts_lit),
-            jnp.asarray(cp.luts_dist),
-            np.int32(avail_bits),
-        )
-    else:
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-
-        def shard_step(w32s, s, p, b, ll, ld):
-            return cursor_tokenize_body(
-                jax, jnp, CAP, w32s, s, p, b, ll, ld, np.int32(avail_bits)
-            )
-
-        sharded_tok = jax.jit(
-            shard_map(
-                shard_step,
-                mesh=mesh,
-                in_specs=(P(), P("shards"), P("shards"), P("shards"), P(), P()),
-                out_specs=(P("shards"),) * 5,
-            )
-        )
-        tok_pack, tok_bp, cnt, end_pos, status = sharded_tok(
-            w32,
-            jnp.asarray(starts_a),
-            jnp.asarray(stops_dec),
-            jnp.asarray(block_a),
-            jnp.asarray(cp.luts_lit),
-            jnp.asarray(cp.luts_dist),
-        )
-    splice = make_splice_compact(Kpad, CAP)
-    ok, M, comp, kcnt = splice(
-        tok_pack, tok_bp, cnt, end_pos, status,
-        jnp.asarray(stops_a), jnp.asarray(bstart_a), jnp.asarray(first_a),
-        jnp.asarray(last_a), jnp.asarray(expect_eob_a),
-        jnp.asarray(active_a),
+    window = (
+        dictionary[-((1 << 15) - 1):].astype(np.uint8)
+        if dictionary is not None and len(dictionary)
+        else np.empty(0, np.uint8)
     )
-    if int(ok) != 1:
-        return None
+    win = np.zeros(1 << 15, np.uint8)
+    if len(window):
+        win[-len(window):] = window
+
+    any_open = any(p[5] for p in plan)
+    use_fused = mesh is None and device_expand and not any_open
+    out = None
+    total = 0
+    if use_fused:
+        out_cap = size_hint or (8 * len(buf) + (1 << 16))
+        out_cap = 1 << max(16, int(out_cap - 1).bit_length())
+        while True:
+            runf = make_inflate_fused(Kpad, CAP, out_cap)
+            meta, out, comp = runf(
+                w32, jnp.asarray(starts_a), jnp.asarray(stops_dec),
+                jnp.asarray(block_a), jnp.asarray(cp.luts_lit),
+                jnp.asarray(cp.luts_dist), np.int32(avail_bits),
+                jnp.asarray(stops_a), jnp.asarray(bstart_a),
+                jnp.asarray(first_a), jnp.asarray(last_a),
+                jnp.asarray(expect_eob_a), jnp.asarray(active_a),
+                jnp.asarray(win),
+            )
+            meta_np = np.asarray(meta)  # the ONE synchronizing pull
+            if int(meta_np[0]) != 1:
+                return None
+            M = int(meta_np[1])
+            total = int(meta_np[2])
+            if total <= out_cap:
+                break
+            out_cap = 1 << int(total - 1).bit_length()
+        end_np = meta_np[3 : 3 + Kpad][:K]
+        st_np = meta_np[3 + Kpad : 3 + 2 * Kpad][:K]
+        kcnt_np = meta_np[3 + 2 * Kpad : 3 + 3 * Kpad][:K]
+    else:
+        if mesh is None:
+            tokf = make_cursor_tokenize(Kpad, CAP)
+            tok_pack, tok_bp, cnt, end_pos, status = tokf(
+                w32,
+                jnp.asarray(starts_a),
+                jnp.asarray(stops_dec),
+                jnp.asarray(block_a),
+                jnp.asarray(cp.luts_lit),
+                jnp.asarray(cp.luts_dist),
+                np.int32(avail_bits),
+            )
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            def shard_step(w32s, st, sp, b, ll, ld):
+                return cursor_tokenize_body(
+                    jax, jnp, CAP, w32s, st, sp, b, ll, ld,
+                    np.int32(avail_bits),
+                )
+
+            sharded_tok = jax.jit(
+                shard_map(
+                    shard_step,
+                    mesh=mesh,
+                    in_specs=(P(), P("shards"), P("shards"), P("shards"),
+                              P(), P()),
+                    out_specs=(P("shards"),) * 5,
+                )
+            )
+            tok_pack, tok_bp, cnt, end_pos, status = sharded_tok(
+                w32,
+                jnp.asarray(starts_a),
+                jnp.asarray(stops_dec),
+                jnp.asarray(block_a),
+                jnp.asarray(cp.luts_lit),
+                jnp.asarray(cp.luts_dist),
+            )
+        splice = make_splice_compact(Kpad, CAP)
+        ok, M, comp, kcnt = splice(
+            tok_pack, tok_bp, cnt, end_pos, status,
+            jnp.asarray(stops_a), jnp.asarray(bstart_a),
+            jnp.asarray(first_a), jnp.asarray(last_a),
+            jnp.asarray(expect_eob_a), jnp.asarray(active_a),
+        )
+        if int(ok) != 1:
+            return None
+        M = int(M)
+        end_np = np.asarray(end_pos)[:K]
+        st_np = np.asarray(status)[:K]
+        kcnt_np = np.asarray(kcnt)[:K]
 
     # host validation of block chaining: between block b's EOB and block
     # b+1's header there may be sync markers AND non-empty stored runs
     # (the latter invisible to discovery — their bytes splice in below)
-    end_np = np.asarray(end_pos)[:K]
-    st_np = np.asarray(status)[:K]
     blk_np = np.asarray(cp.block_of[:K])
     # effective block end: the FIRST cursor that hit EOB (early in-block
     # EOB means a stored run follows), else the planned block-last cursor
@@ -718,19 +796,14 @@ def inflate_device_v2(
                 if walk[2]:
                     insertions[bi] = walk[2]
 
-    window = (
-        dictionary[-((1 << 15) - 1):].astype(np.uint8)
-        if dictionary is not None and len(dictionary)
-        else np.empty(0, np.uint8)
-    )
     if not device_expand or tail_tokens is not None or insertions:
-        comph = np.asarray(comp)[: int(M)]
+        comph = np.asarray(comp)[:M]
         is_m = (comph >> 25) & 1
         litlen = (comph & 0x1FF).astype(np.int32)
         dist = np.where(is_m == 1, (comph >> 9) & 0xFFFF, 0).astype(np.int32)
         if insertions:
             # token count per planned block -> insertion offsets
-            kc = np.asarray(kcnt)[:K].astype(np.int64)
+            kc = np.asarray(kcnt_np).astype(np.int64)
             blk = np.asarray(cp.block_of, np.int64)
             per_block = np.bincount(blk, weights=kc, minlength=len(plan))
             block_end_tok = np.cumsum(per_block).astype(np.int64)
@@ -754,15 +827,15 @@ def inflate_device_v2(
 
         return expand_host(litlen, dist, window)
 
-    win = np.zeros(1 << 15, np.uint8)
-    if len(window):
-        win[-len(window):] = window
+    if use_fused:
+        return np.asarray(out)[:total]
+
     out_cap = size_hint or (8 * len(buf) + (1 << 16))
     out_cap = -(-out_cap // 1024) * 1024
     while True:
         expand = make_expand_v2(Kpad * CAP, out_cap)
-        out, total = expand(comp, M, jnp.asarray(win))
-        t = int(total)
+        out, total_d = expand(comp, M, jnp.asarray(win))
+        t = int(total_d)
         if t <= out_cap:
             return np.asarray(out)[:t]
         out_cap = -(-t // 1024) * 1024
