@@ -95,22 +95,30 @@ def match_lengths_v3(jax, jnp, data, lim16, limit, mincand, chid, level):
 
     best = near_screen(jax, jnp, w0, w1, w2, w3, mincand, lim16, params["nd"])
 
-    packed_ml = (mincand << 5) | lim16  # mincand < 2^26, lim16 < 32
+    # invalid candidate positions (unfilled context) take a unique
+    # sentinel hash: they can never match, so the probe sort needs no
+    # validity operand and the far kernel no mincand/limit logic at all
+    # (screens are length-clipped afterwards in the position domain)
+    cand_ok = pos >= mincand
+    SENT = jnp.int32(1 << 28)
     probes = [(4, params["k4"], 16)]
     if params["k6"]:
         probes.append((6, params["k6"], 18))
     for nbytes, k, bits in probes:
         h = _hash_k(jnp, w0, w1, nbytes, bits)
-        hc = h | (chid << bits)  # chunk-disjoint hash domains
-        sh, sp, s0, s1, s2, s3, sml = jax.lax.sort(
-            (hc, pos, w0, w1, w2, w3, packed_ml), num_keys=1, is_stable=True
+        hc = jnp.where(cand_ok, h | (chid << bits), SENT + pos)
+        sh, sp, s0, s1, s2, s3 = jax.lax.sort(
+            (hc, pos, w0, w1, w2, w3), num_keys=1, is_stable=True
         )
-        fkeys = far_screen(jax, jnp, sh, sp, s0, s1, s2, s3, sml, k)
+        fkeys = far_screen(jax, jnp, sh, sp, s0, s1, s2, s3, k)
         _, fpos = jax.lax.sort((sp, fkeys), num_keys=1, is_stable=True)
         best = jnp.maximum(best, fpos)
 
     sc = best >> 16
-    d = jnp.where(best > 0, jnp.int32(0xFFFF) - (best & 0xFFFF), 0)
+    sc = jnp.minimum(sc, lim16)
+    d = jnp.where((best > 0) & (sc >= MIN_MATCH),
+                  jnp.int32(0xFFFF) - (best & 0xFFFF), 0)
+    sc = jnp.where(d > 0, sc, 0)
 
     # --- d-chain: segmented suffix scan over stride-16 links ------------
     d16 = jnp.concatenate([d[16:], jnp.zeros(16, jnp.int32)])

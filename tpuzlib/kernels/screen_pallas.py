@@ -148,15 +148,17 @@ def near_screen(jax, jnp, w0, w1, w2, w3, mincand, lim16, nd):
 @functools.lru_cache()
 def _far_kernel(rows: int, k: int, interpret: bool):
     """Sorted-domain probe screen: for each row of the stable
-    (hash, pos, window, meta) sort, check the k previous rows (the k
-    most recent same-hash predecessors — the sorted-domain image of a
-    hash-chain walk, reference deflate.ts:860-941).
+    (hash, pos, window) sort, check the k previous rows (the k most
+    recent same-hash predecessors — the sorted-domain image of a
+    hash-chain walk, reference deflate.ts:860-941).  Candidate validity
+    is encoded upstream as sentinel hashes, and screens are length-
+    clipped afterwards in the position domain, so the kernel needs no
+    per-position metadata.
 
     in: sh (R,128) i32 sorted composite hashes (chunk id folded in);
         sp (R,128) i32 sorted global positions;
-        s0..s3 (R,128) u32 sorted window words;
-        sml (R,128) i32 packed (mincand << 5 | lim)
-    out: packed key (R,128) u32 (sorted domain)."""
+        s0..s3 (R,128) u32 sorted window words
+    out: packed key (R,128) i32 (sorted domain)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -165,12 +167,9 @@ def _far_kernel(rows: int, k: int, interpret: bool):
     gshift1, _, prefix16 = _ops(jax, jnp, interpret)
     WINDOW = 1 << 15
 
-    def kernel(sh_ref, sp_ref, s0_ref, s1_ref, s2_ref, s3_ref, sml_ref, out_ref):
+    def kernel(sh_ref, sp_ref, s0_ref, s1_ref, s2_ref, s3_ref, out_ref):
         sh, sp = sh_ref[:], sp_ref[:]
         w0, w1, w2, w3 = s0_ref[:], s1_ref[:], s2_ref[:], s3_ref[:]
-        sml = sml_ref[:]
-        mincand = sml >> 5
-        lim = sml & 31
         lane = jax.lax.broadcasted_iota(jnp.int32, sh.shape, 1)
         row = jax.lax.broadcasted_iota(jnp.int32, sh.shape, 0)
         zero = jnp.uint32(0)
@@ -186,26 +185,25 @@ def _far_kernel(rows: int, k: int, interpret: bool):
             c2 = gshift1(c2, lane, row, zero)
             c3 = gshift1(c3, lane, row, zero)
             d = sp - cp
-            ok = (ch == sh) & (d >= 1) & (d <= WINDOW) & (cp >= mincand)
+            ok = (ch == sh) & (d >= 1) & (d <= WINDOW)
             sc = prefix16(w0, w1, w2, w3, c0, c1, c2, c3)
-            sc = jnp.minimum(sc, lim)
             key = jnp.where(ok & (sc >= MIN_MATCH), _pack_key(jnp, sc, d), 0)
             best = jnp.maximum(best, key)
         out_ref[:] = best
 
-    def run(sh, sp, s0, s1, s2, s3, sml):
+    def run(sh, sp, s0, s1, s2, s3):
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(sh, sp, s0, s1, s2, s3, sml)
+        )(sh, sp, s0, s1, s2, s3)
 
     return run
 
 
-def far_screen(jax, jnp, sh, sp, s0, s1, s2, s3, sml, k):
+def far_screen(jax, jnp, sh, sp, s0, s1, s2, s3, k):
     """Sorted-domain k-deep probe screen.  Flat (total,) inputs from a
     stable lax.sort by composite hash; returns flat packed keys."""
     total = sh.shape[0]
@@ -213,6 +211,6 @@ def far_screen(jax, jnp, sh, sp, s0, s1, s2, s3, sml, k):
     interpret = jax.default_backend() != "tpu"
     r = lambda x: x.reshape(rows, 128)
     out = _far_kernel(rows, k, interpret)(
-        r(sh), r(sp), r(s0), r(s1), r(s2), r(s3), r(sml)
+        r(sh), r(sp), r(s0), r(s1), r(s2), r(s3)
     )
     return out.reshape(total)
