@@ -117,3 +117,26 @@ def test_v3_screens_match_bruteforce():
             if pl >= 3 and pl > bsc:
                 bsc, bd = pl, dd
         assert bsc == sc[i] and (bsc == 0 or bd == d[i]), (i, sc[i], d[i], bsc, bd)
+
+
+def test_device_deflater_streaming_state():
+    """Device-resident streaming state: the match window is carried
+    across append() calls ON DEVICE, and cross-append matches are found
+    (parity contract: reference window persistence deflate.ts:110-194)."""
+    import zlib
+
+    from tpuzlib.kernels.deflate_device3 import DeviceDeflater
+
+    chunk = 1 << 14
+    d = DeviceDeflater(level=6, chunk=chunk, batch=2)
+    parts = [TEXT[i : i + 40000] for i in range(0, 200000, 40000)]
+    outs = [d.append(p) for p in parts]
+    outs.append(d.finish())
+    wire = b"".join(bytes(o) for o in outs if len(o))
+    assert zlib.decompress(wire, -15) == TEXT[:200000]
+    # cross-append matches: the stream must be smaller than
+    # independent compression of the parts (history reuse)
+    indep = sum(
+        len(zlib.compress(p, 6)) - 10 for p in parts
+    )
+    assert len(wire) < indep

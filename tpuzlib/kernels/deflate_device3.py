@@ -766,3 +766,138 @@ def _push_stored(sink, chunk_bytes: np.ndarray, is_last: bool) -> None:
         off += blk
         if off >= nv:
             break
+
+
+class DeviceDeflater:
+    """Streaming deflate with DEVICE-RESIDENT codec state (round 3).
+
+    The match window (last CTX bytes) lives on the device as a jax array
+    and is carried across append() calls — the TPU analog of the
+    reference's persistent window/hash state across deflate() calls
+    (deflate.ts:110-194, infblocks suspend/resume contract
+    SURVEY.md §5 checkpoint/resume).  Input is staged into fixed-size
+    chunk buffers (static shapes; the reference's own fixed 16 KiB drain
+    pattern, zstream.ts:11, scaled up); the only host state is the
+    sub-byte bit remainder of the emitted stream.
+
+    append(data) -> compressed bytes ready so far (byte-aligned slices);
+    finish() -> final bytes (BFINAL block + padding).
+    """
+
+    def __init__(self, level: int = 6, chunk: int = 1 << 18, batch: int = 4):
+        import jax.numpy as jnp
+
+        from ..codec.bitsink import BitSink
+
+        self.level = level
+        self.chunk = chunk
+        self.batch = batch
+        self.out_words = min(chunk + 4, (chunk * 10) // 32 + 64)
+        self._enc = _get(
+            ("enc3", level, chunk, batch, self.out_words),
+            lambda: make_encode_batch_v3(level, chunk, batch, self.out_words),
+        )
+        self._jnp = jnp
+        self._ctx = jnp.zeros(CTX, jnp.uint8)  # device-resident window
+        self._ctx_valid = 0
+        self._pending = np.empty(0, np.uint8)
+        self._sink = BitSink()
+        self._finished = False
+
+    def _encode_groups(self, chunks, lasts):
+        """chunks: list of np arrays (each == self.chunk long except a
+        final short one when finishing).  Returns nothing; pushes bits."""
+        jnp = self._jnp
+        from .deflate_device import _push_words
+
+        i = 0
+        while i < len(chunks):
+            group = chunks[i : i + self.batch]
+            glasts = lasts[i : i + self.batch]
+            B = self.batch
+            bufs = jnp.zeros((B, CTX + self.chunk), jnp.uint8)
+            cv = np.zeros(B, np.int32)
+            nv = np.zeros(B, np.int32)
+            lv = np.zeros(B, np.int32)
+            ctx = self._ctx
+            ctx_valid = self._ctx_valid
+            for bi, ch in enumerate(group):
+                bufs = bufs.at[bi, :CTX].set(ctx)
+                bufs = bufs.at[bi, CTX : CTX + len(ch)].set(jnp.asarray(ch))
+                cv[bi] = ctx_valid
+                nv[bi] = len(ch)
+                lv[bi] = int(glasts[bi])
+                # next chunk's context: tail of (ctx | data) on device
+                row = bufs[bi, : CTX + len(ch)]
+                ctx = row[-CTX:] if len(ch) >= CTX else jnp.concatenate(
+                    [ctx[len(ch) :], jnp.asarray(ch)]
+                )
+                ctx_valid = min(CTX, ctx_valid + len(ch))
+            words, total_bits, ok = self._enc(
+                bufs, jnp.asarray(cv), jnp.asarray(nv), jnp.asarray(lv)
+            )
+            self._ctx = ctx
+            self._ctx_valid = ctx_valid
+            wh = np.asarray(words)
+            tb = np.asarray(total_bits)
+            okh = np.asarray(ok)
+            for bi, ch in enumerate(group):
+                nv_b = len(ch)
+                nstored = max(1, -(-nv_b // 65535))
+                if okh[bi] and int(tb[bi]) <= 8 * nv_b + nstored * 40 + 8:
+                    _push_words(self._sink, wh[bi], int(tb[bi]))
+                else:
+                    _push_stored(self._sink, ch, bool(glasts[bi]))
+            i += self.batch
+
+    def append(self, data) -> np.ndarray:
+        if self._finished:
+            raise RuntimeError("DeviceDeflater instances cannot be reused")
+        from ..common import u8_view
+
+        data = np.ascontiguousarray(u8_view(data))
+        self._pending = (
+            np.concatenate([self._pending, data]) if len(self._pending) else data
+        )
+        chunks = []
+        while len(self._pending) > self.chunk:
+            chunks.append(self._pending[: self.chunk])
+            self._pending = self._pending[self.chunk :]
+        if chunks:
+            self._encode_groups(chunks, [0] * len(chunks))
+        out, _, _ = self._sink.flush(final=False)
+        return out
+
+    def finish(self) -> np.ndarray:
+        if self._finished:
+            raise RuntimeError("DeviceDeflater instances cannot be reused")
+        self._finished = True
+        tailbuf = np.zeros(self.chunk, np.uint8)
+        n = len(self._pending)
+        tailbuf[:n] = self._pending
+        # encode the (possibly empty) final chunk with n_valid masking
+        jnp = self._jnp
+        from .deflate_device import _push_words
+
+        bufs = jnp.zeros((self.batch, CTX + self.chunk), jnp.uint8)
+        bufs = bufs.at[0, :CTX].set(self._ctx)
+        bufs = bufs.at[0, CTX : CTX + self.chunk].set(jnp.asarray(tailbuf))
+        cv = np.zeros(self.batch, np.int32)
+        nv = np.zeros(self.batch, np.int32)
+        lv = np.zeros(self.batch, np.int32)
+        cv[0] = self._ctx_valid
+        nv[0] = n
+        lv[0] = 1
+        words, total_bits, ok = self._enc(
+            bufs, jnp.asarray(cv), jnp.asarray(nv), jnp.asarray(lv)
+        )
+        okh = int(np.asarray(ok)[0])
+        tb = int(np.asarray(total_bits)[0])
+        nstored = max(1, -(-n // 65535))
+        if okh and tb <= 8 * n + nstored * 40 + 8:
+            _push_words(self._sink, np.asarray(words)[0], tb)
+        else:
+            _push_stored(self._sink, self._pending, True)
+        self._pending = np.empty(0, np.uint8)
+        out, _, _ = self._sink.flush(final=True)
+        return out
