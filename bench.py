@@ -31,6 +31,8 @@ def timed(fn, reps=10):
 
 
 def main():
+    import os
+
     import tpuzlib
     from tpuzlib.utils.jaxcache import enable_compile_cache
     from tpuzlib.utils.mem import tune_malloc
@@ -41,6 +43,12 @@ def main():
     txt = open("/root/reference/test/paradiselost.txt", "rb").read()
     n = len(txt)
     extras = {}
+
+    # host sections measure the HOST path explicitly; the TPU section
+    # measures the device paths (incl. the public-API device dispatch)
+    # under its own per-metric alarms
+    prev_env = os.environ.get("TPUZLIB_DEVICE")
+    os.environ["TPUZLIB_DEVICE"] = "0"
 
     # --- headline: deflate L6, reference methodology --------------------
     wire6 = bytes(tpuzlib.deflate(txt, level=6))
@@ -76,6 +84,10 @@ def main():
     # they land (round-2 lesson: a single whole-section alarm lost every
     # TPU number to one slow compile; with the persistent compile cache
     # warm, each metric takes seconds)
+    if prev_env is None:
+        del os.environ["TPUZLIB_DEVICE"]
+    else:
+        os.environ["TPUZLIB_DEVICE"] = prev_env
     _run_tpu_section(extras, txt)
 
     result = _emit(deflate_mbps, extras)
@@ -185,11 +197,11 @@ def _run_tpu_section(extras, txt):
 
     def deflate_kernel():
         from tpuzlib.kernels import deflate_device as dd
+        from tpuzlib.kernels.deflate_device3 import make_encode_batch_v3
 
         chunk, batch = 1 << 18, 4
         out_words = min(chunk + 4, (chunk * 10) // 32 + 64)
-        make_enc = getattr(dd, "make_encode_batch_v3", None) or dd.make_encode_batch_v2
-        enc = make_enc(6, chunk, batch, out_words)
+        enc = make_encode_batch_v3(6, chunk, batch, out_words)
         big = np.frombuffer((txt * 40)[: batch * (dd.CTX + chunk)], np.uint8)
         bufs = jnp.asarray(big.reshape(batch, dd.CTX + chunk))
         cv = jnp.zeros(batch, jnp.int32)
@@ -197,10 +209,10 @@ def _run_tpu_section(extras, txt):
         lv = jnp.zeros(batch, jnp.int32)
 
         # honest wall number (includes tunnel dispatch)
-        w, tb = enc(bufs, cv, nv, lv)
+        w, tb, ok = enc(bufs, cv, nv, lv)
         np.asarray(tb)
         t0 = time.time()
-        w, tb = enc(bufs, cv, nv, lv)
+        w, tb, ok = enc(bufs, cv, nv, lv)
         np.asarray(tb)
         extras["tpu_deflate_e2e_MBps"] = round(
             batch * chunk / (time.time() - t0) / 1e6, 2
@@ -208,13 +220,49 @@ def _run_tpu_section(extras, txt):
 
         # device-time number (loop differencing)
         def enc_body(i, bufs_c):
-            w, tb = enc(bufs_c, cv, nv, lv)
+            w, tb, ok = enc(bufs_c, cv, nv, lv)
             return bufs_c.at[0, 0].set((tb[0] & 127).astype(jnp.uint8))
 
         per = _loop_time(jax, enc_body, bufs, k1=2, k2=6)
         extras["tpu_deflate_kernel_MBps"] = round(batch * chunk / per / 1e6, 2)
 
     _metric(extras, "deflate", 900, deflate_kernel)
+
+    def api_device():
+        """Public one-shot entry points on the TPU host: the paths a
+        reference user actually calls (sd-inflate.ts:189, sd-deflate.ts:263)
+        dispatched to the device kernels above the size threshold."""
+        import os
+
+        import tpuzlib
+
+        os.environ["TPUZLIB_DEVICE"] = "1"
+        try:
+            src = (txt * 18)[: 8 << 20]
+            wire = bytes(tpuzlib.deflate(src, level=6))  # warm/compile
+            t0 = time.time()
+            wire = bytes(tpuzlib.deflate(src, level=6))
+            extras["tpu_api_deflate_MBps"] = round(
+                len(src) / (time.time() - t0) / 1e6, 2
+            )
+            out = tpuzlib.inflate(wire)  # warm/compile
+            assert bytes(out) == src
+            t0 = time.time()
+            tpuzlib.inflate(wire)
+            extras["tpu_api_inflate_MBps"] = round(
+                len(src) / (time.time() - t0) / 1e6, 2
+            )
+            from tpuzlib.utils import trace
+
+            counts = trace.get_counters()
+            extras["tpu_api_device_fallbacks"] = int(
+                counts.get("deflate.device_fallback", 0)
+                + counts.get("inflate.device_fallback", 0)
+            )
+        finally:
+            os.environ["TPUZLIB_DEVICE"] = "0"
+
+    _metric(extras, "api_device", 900, api_device)
 
     def inflate_e2e():
         from tpuzlib.kernels.inflate_device2 import inflate_device_v2

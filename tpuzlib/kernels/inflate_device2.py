@@ -708,8 +708,9 @@ def inflate_device_v2(
                 np.int32(avail_bits),
             )
         else:
-            from jax import shard_map
             from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import shard_map_compat
 
             def shard_step(w32s, st, sp, b, ll, ld):
                 return cursor_tokenize_body(
@@ -718,7 +719,7 @@ def inflate_device_v2(
                 )
 
             sharded_tok = jax.jit(
-                shard_map(
+                shard_map_compat(
                     shard_step,
                     mesh=mesh,
                     in_specs=(P(), P("shards"), P("shards"), P("shards"),

@@ -471,17 +471,28 @@ struct SymTables {
 const SymTables g_sym;
 }  // namespace
 
+}  // extern "C" (suspended: the tokenizer is a template, C linkage resumes below)
+
+namespace {
+
 // LZ77 hash-chain match search + greedy/lazy parse.
 // data: ctx_len context bytes then n new bytes.  Writes token tape
 // (litlen[i], dist[i]); fills per-stripe symbol histograms
 // (lit_freq[stripe*286+s], dist_freq[stripe*30+s]) and records the
 // cumulative output byte count at each stripe end in stripe_out_end.
 // stripe = token_index / stripe_tokens.  Returns token count.
-int64_t tz_deflate_tokenize(const uint8_t* data, int64_t total, int64_t ctx_len,
-                            int max_chain, int max_lazy, int nice_len, int lazy,
-                            int32_t* out_litlen, int32_t* out_dist,
-                            int32_t* lit_freq, int32_t* dist_freq,
-                            int64_t* stripe_out_end, int64_t stripe_tokens) {
+//
+// TAGGED: chain entries pack an 11-bit second hash of the 4-gram into
+// bits 21..31 (positions fit 21 bits for the chunk sizes the engine
+// feeds).  Bucket collisions — the large majority of chain steps — are
+// then rejected from the chain word alone, without touching data[cand]:
+// the walk's dependent-load chain shrinks to prev[] itself.
+template <bool TAGGED>
+int64_t tz_tokenize_impl(const uint8_t* data, int64_t total, int64_t ctx_len,
+                         int max_chain, int max_lazy, int nice_len, int lazy,
+                         int32_t* out_litlen, int32_t* out_dist,
+                         int32_t* lit_freq, int32_t* dist_freq,
+                         int64_t* stripe_out_end, int64_t stripe_tokens) {
   constexpr int HASH_BITS = 17;
   constexpr int HASH_SIZE = 1 << HASH_BITS;
   constexpr int H3_BITS = 14;
@@ -490,6 +501,8 @@ int64_t tz_deflate_tokenize(const uint8_t* data, int64_t total, int64_t ctx_len,
   constexpr int MIN_MATCH = 3;
   constexpr int MAX_MATCH = 258;
   constexpr int TOO_FAR3 = 128;
+  constexpr int POS_BITS = 21;
+  constexpr uint32_t POS_MASK = (1u << POS_BITS) - 1;
 
   // two-level search: 4-byte hash chains (sparser buckets than the
   // reference's 3-byte chains -> shorter walks for equal quality) plus a
@@ -527,11 +540,18 @@ int64_t tz_deflate_tokenize(const uint8_t* data, int64_t total, int64_t ctx_len,
   };
   auto hash_at = [&](int64_t i) -> uint32_t { return hash4(word_at(i)); };
   auto hash3_at = [&](int64_t i) -> uint32_t { return hash3(word_at(i)); };
+  // 11-bit second hash of the same 4-gram, packed above the position
+  auto tag_of = [](uint32_t v) -> uint32_t {
+    return TAGGED ? ((v * 0x85EBCA77u) >> 21) << POS_BITS : 0;
+  };
+  auto pack = [&](int64_t i, uint32_t v) -> int32_t {
+    return TAGGED ? (int32_t)((uint32_t)i | tag_of(v)) : (int32_t)i;
+  };
   auto insert = [&](int64_t i) {
     uint32_t v = word_at(i);
     uint32_t h = hash4(v);
     prev[i] = head[h];
-    head[h] = (int32_t)i;
+    head[h] = pack(i, v);
     last3[hash3(v)] = (int32_t)i;
   };
   auto longest_match = [&](int64_t i, int32_t first_cand, int32_t* best_dist,
@@ -546,16 +566,32 @@ int64_t tz_deflate_tokenize(const uint8_t* data, int64_t total, int64_t ctx_len,
     const uint8_t* cur = data + i;
     uint32_t v0;
     memcpy(&v0, cur, 4);
-    while (cand >= min_pos && chain_budget-- > 0) {
-      if (cand >= i) { cand = prev[cand]; continue; }
-      const uint8_t* c = data + cand;
+    const uint32_t my_tag = tag_of(v0);
+    while (chain_budget-- > 0) {
+      if (TAGGED && cand == -1) break;
+      int64_t cpos = TAGGED ? (int64_t)((uint32_t)cand & POS_MASK) : cand;
+      if (cpos < min_pos) break;
+      if (cpos >= i) { cand = prev[cpos]; continue; }
+      if (TAGGED && (((uint32_t)cand ^ my_tag) >> POS_BITS) != 0) {
+        // different 4-gram (or a 1/2048 tag alias): skip without
+        // touching the candidate's data at all
+        cand = prev[cpos];
+        continue;
+      }
+      const uint8_t* c = data + cpos;
+      if (!TAGGED) {
+        // hide the chain walk's dependent-load latency: touch the next
+        // candidate's bytes while this one is compared
+        int32_t nxt = prev[cpos];
+        if (nxt >= min_pos) __builtin_prefetch(data + nxt);
+      }
       // two cheap rejects: the byte that would improve `best`, then the
-      // first word (16-bit hash buckets hold ~8 distinct 4-grams, so
-      // most chain entries are bucket collisions, not matches)
+      // first word (the tag leaves ~no collisions in TAGGED mode; the
+      // word check also rejects tag aliases exactly)
       if (c[best] == cur[best]) {
         uint32_t w0;
         memcpy(&w0, c, 4);
-        if (w0 != v0) { cand = prev[cand]; continue; }
+        if (w0 != v0) { cand = prev[cpos]; continue; }
         int32_t len = 0;
         while (len + 8 <= limit) {
           uint64_t a, b;
@@ -569,11 +605,11 @@ int64_t tz_deflate_tokenize(const uint8_t* data, int64_t total, int64_t ctx_len,
       donecmp:
         if (len > best) {
           best = len;
-          *best_dist = (int32_t)(i - cand);
+          *best_dist = (int32_t)(i - cpos);
           if (best >= nice_len || best >= limit) break;
         }
       }
-      cand = prev[cand];
+      cand = prev[cpos];
     }
     if (best < MIN_MATCH) {
       // no 4-byte match: try the close 3-byte slot
@@ -595,20 +631,30 @@ int64_t tz_deflate_tokenize(const uint8_t* data, int64_t total, int64_t ctx_len,
 
   int64_t ntok = 0;
   int64_t out_bytes = 0;
+  // stripe bookkeeping without a per-token division
+  int64_t stripe = 0;
+  int64_t stripe_left = stripe_tokens;
+  int32_t* lf_cur = lit_freq;
+  int32_t* df_cur = dist_freq;
   auto put = [&](int32_t ll, int32_t dd) {
     out_litlen[ntok] = ll;
     out_dist[ntok] = dd;
-    int64_t stripe = ntok / stripe_tokens;
     if (dd > 0) {
-      lit_freq[stripe * 286 + g_sym.lsym(ll)]++;
-      dist_freq[stripe * 30 + g_sym.dsym(dd)]++;
+      lf_cur[g_sym.lsym(ll)]++;
+      df_cur[g_sym.dsym(dd)]++;
       out_bytes += ll;
     } else {
-      lit_freq[stripe * 286 + ll]++;
+      lf_cur[ll]++;
       out_bytes += 1;
     }
     ntok++;
     stripe_out_end[stripe] = out_bytes;
+    if (--stripe_left == 0) {
+      stripe++;
+      stripe_left = stripe_tokens;
+      lf_cur += 286;
+      df_cur += 30;
+    }
   };
   int64_t i = ctx_len;
   int32_t prev_len = 0, prev_dist = 0;
@@ -623,7 +669,7 @@ int64_t tz_deflate_tokenize(const uint8_t* data, int64_t total, int64_t ctx_len,
       uint32_t h = hash4(v);
       int32_t cand = head[h];
       prev[i] = cand;
-      head[h] = (int32_t)i;
+      head[h] = pack(i, v);
       len = longest_match(i, cand, &dist,
                           (have_prev && prev_len >= max_lazy / 4)
                               ? max_chain / 4
@@ -669,6 +715,29 @@ int64_t tz_deflate_tokenize(const uint8_t* data, int64_t total, int64_t ctx_len,
     put(prev_len, prev_dist);
   }
   return ntok;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t tz_deflate_tokenize(const uint8_t* data, int64_t total, int64_t ctx_len,
+                            int max_chain, int max_lazy, int nice_len, int lazy,
+                            int32_t* out_litlen, int32_t* out_dist,
+                            int32_t* lit_freq, int32_t* dist_freq,
+                            int64_t* stripe_out_end, int64_t stripe_tokens) {
+  // tagged chains need the position to fit 21 bits; the engine's chunks
+  // (<= 512 KiB + 32 KiB context) always do, but arbitrary callers get
+  // the untagged walk
+  if (total < ((int64_t)1 << 21) - 1)
+    return tz_tokenize_impl<true>(data, total, ctx_len, max_chain, max_lazy,
+                                  nice_len, lazy, out_litlen, out_dist,
+                                  lit_freq, dist_freq, stripe_out_end,
+                                  stripe_tokens);
+  return tz_tokenize_impl<false>(data, total, ctx_len, max_chain, max_lazy,
+                                 nice_len, lazy, out_litlen, out_dist,
+                                 lit_freq, dist_freq, stripe_out_end,
+                                 stripe_tokens);
 }
 
 // Serial LSB-first bit emitter for a block body: token codes + EOB.

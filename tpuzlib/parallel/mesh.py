@@ -39,3 +39,23 @@ def make_multihost_mesh(platform: str | None = None):
     ):
         jax.distributed.initialize()
     return make_mesh(platform=platform)
+
+
+def shard_map_compat(f, mesh, in_specs, out_specs):
+    """shard_map across jax versions.
+
+    jax 0.9 enables check_vma by default, which rejects pallas_call
+    out_shapes (ShapeDtypeStruct has no vma) inside the mapped function;
+    older versions spelled the flag check_rep.  The codec's shard
+    residency is fully determined by in_specs/out_specs, so the varying
+    -across-mesh check adds nothing here."""
+    from jax import shard_map
+
+    for kw in ({"check_vma": False}, {"check_rep": False}, {}):
+        try:
+            return shard_map(
+                f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw
+            )
+        except TypeError:
+            continue
+    raise RuntimeError("no compatible shard_map signature")

@@ -71,7 +71,6 @@ def build_sharded_deflate(
     """
     import jax
     import jax.numpy as jnp
-    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     ndev = mesh.devices.size
@@ -223,7 +222,9 @@ def build_sharded_deflate(
 
     from jax.sharding import PartitionSpec as P  # noqa: F811
 
-    sharded = shard_map(
+    from .mesh import shard_map_compat
+
+    sharded = shard_map_compat(
         step,
         mesh=mesh,
         in_specs=(P("shards"), P("shards"), P()),
