@@ -119,7 +119,11 @@ def _loop_time(jax, fn, init, k1=2, k2=8, reps=3):
 
 def _metric(extras, key, budget, fn):
     """Run one TPU metric under its own alarm; failures are recorded
-    per-key and never erase other metrics (round-2 lesson)."""
+    per-key and never erase other metrics (round-2 lesson).  NOTE the
+    alarm cannot interrupt a blocking XLA compile — it fires when the
+    native call returns — so completed extras are also checkpointed to a
+    sidecar file, surviving an external kill of the whole process."""
+    import json as _json
     import signal
 
     def _alarm(sig, frame):
@@ -134,6 +138,11 @@ def _metric(extras, key, budget, fn):
     finally:
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
+        try:
+            with open("bench_partial.json", "w") as f:
+                _json.dump(extras, f)
+        except OSError:  # pragma: no cover
+            pass
 
 
 def _run_tpu_section(extras, txt):
@@ -179,8 +188,12 @@ def _run_tpu_section(extras, txt):
         from tpuzlib.kernels.crc32_pallas import crc32_device_jit
         from tpuzlib.kernels.adler32_pallas import adler32_device_jit
 
+        # the loop body must depend on the carry AND mutate the data,
+        # else XLA hoists the (loop-invariant) checksum out of the loop
+        # and the differenced time collapses to ~0
         def crc_body(i, st):
             d, acc = st
+            d = d.at[0].set((acc & 127).astype(jnp.uint8))
             return d, acc ^ crc32_device_jit(d)
 
         per = _loop_time(jax, crc_body, (ddata, jnp.uint32(0)), k1=2, k2=8)
@@ -188,6 +201,7 @@ def _run_tpu_section(extras, txt):
 
         def adl_body(i, st):
             d, acc = st
+            d = d.at[0].set((acc & 127).astype(jnp.uint8))
             return d, acc ^ adler32_device_jit(d)
 
         per = _loop_time(jax, adl_body, (ddata, jnp.uint32(0)), k1=2, k2=8)
@@ -211,20 +225,30 @@ def _run_tpu_section(extras, txt):
         # honest wall number (includes tunnel dispatch)
         w, tb, ok = enc(bufs, cv, nv, lv)
         np.asarray(tb)
-        t0 = time.time()
-        w, tb, ok = enc(bufs, cv, nv, lv)
-        np.asarray(tb)
-        extras["tpu_deflate_e2e_MBps"] = round(
-            batch * chunk / (time.time() - t0) / 1e6, 2
-        )
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            w, tb, ok = enc(bufs, cv, nv, lv)
+            np.asarray(tb)
+            best = min(best, time.time() - t0)
+        extras["tpu_deflate_e2e_MBps"] = round(batch * chunk / best / 1e6, 2)
 
-        # device-time number (loop differencing)
-        def enc_body(i, bufs_c):
-            w, tb, ok = enc(bufs_c, cv, nv, lv)
-            return bufs_c.at[0, 0].set((tb[0] & 127).astype(jnp.uint8))
-
-        per = _loop_time(jax, enc_body, bufs, k1=2, k2=6)
-        extras["tpu_deflate_kernel_MBps"] = round(batch * chunk / per / 1e6, 2)
+        # device-time number: e2e minus the measured dispatch+pull floor
+        # (a trivial kernel round-trip).  Wrapping the whole v3 encoder
+        # in lax.fori_loop for loop-differencing proved an unbounded
+        # compile through the tunnel; the floor subtraction needs only a
+        # 1-op program and bounds device time from above.
+        tiny = jax.jit(lambda x: x + 1)
+        tz = jnp.zeros(8, jnp.int32)
+        np.asarray(tiny(tz))
+        floor = 1e9
+        for _ in range(5):
+            t0 = time.time()
+            np.asarray(tiny(tz))
+            floor = min(floor, time.time() - t0)
+        extras["tpu_dispatch_floor_ms"] = round(floor * 1000, 2)
+        dev = max(best - floor, 1e-9)
+        extras["tpu_deflate_kernel_MBps"] = round(batch * chunk / dev / 1e6, 2)
 
     _metric(extras, "deflate", 900, deflate_kernel)
 

@@ -140,3 +140,11 @@ def test_device_deflater_streaming_state():
         len(zlib.compress(p, 6)) - 10 for p in parts
     )
     assert len(wire) < indep
+
+
+def test_device_deflater_public_export():
+    """DeviceDeflater is part of the public surface (lazy attr)."""
+    import tpuzlib
+
+    assert tpuzlib.DeviceDeflater.__name__ == "DeviceDeflater"
+    assert "DeviceDeflater" in tpuzlib.__all__

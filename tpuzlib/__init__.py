@@ -24,6 +24,17 @@ from .api.checksums import adler32, crc32
 from .api.inflate_api import Inflater, inflate, InflateResult
 from .api.deflate_api import Deflater, deflate
 
+
+def __getattr__(name):
+    # DeviceDeflater is the streaming compressor with device-resident
+    # codec state (kernels/deflate_device3.py); imported lazily so that
+    # plain host use never touches jax
+    if name == "DeviceDeflater":
+        from .kernels.deflate_device3 import DeviceDeflater
+
+        return DeviceDeflater
+    raise AttributeError(name)
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -36,4 +47,5 @@ __all__ = [
     "InflateResult",
     "Deflater",
     "deflate",
+    "DeviceDeflater",
 ]

@@ -167,7 +167,14 @@ class DeflateEngine:
             if nchunks == 1:
                 pieces = [process_span(0)]
             else:
-                pieces = list(get_executor().map(process_span, range(nchunks)))
+                # run the first span on THIS thread: the caller would
+                # otherwise idle while the pool works, wasting one of
+                # the few cores and paying dispatch+wake latency
+                futs = [
+                    get_executor().submit(process_span, i)
+                    for i in range(1, nchunks)
+                ]
+                pieces = [process_span(0)] + [f.result() for f in futs]
             self.window = (
                 data[-WINDOW_SIZE:].copy() if len(data) else self.window
             )
