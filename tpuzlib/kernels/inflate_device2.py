@@ -667,7 +667,16 @@ def inflate_device_v2(
         win[-len(window):] = window
 
     any_open = any(p[5] for p in plan)
-    use_fused = mesh is None and device_expand and not any_open
+    # TPUZLIB_FUSED=0 selects the staged tokenize->splice->expand
+    # dispatches instead of the single fused program: the fused compile
+    # is minutes-to-unbounded through the remote-compile tunnel (first
+    # time only), which benches and short-lived processes can't afford
+    import os as _os
+
+    use_fused = (
+        mesh is None and device_expand and not any_open
+        and _os.environ.get("TPUZLIB_FUSED", "1") != "0"
+    )
     out = None
     total = 0
     if use_fused:

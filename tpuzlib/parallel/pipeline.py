@@ -317,7 +317,21 @@ def sharded_inflate(data, mesh, stride_bits: int = 1 << 15,
     so each device decodes its slice of bit-strides with the compressed
     stream replicated; splice validation, compaction and LZ expansion
     follow on the global arrays.  Returns decompressed bytes or None
-    when the stream needs the host engine (caller falls back)."""
+    when the stream needs the host engine (caller falls back).
+
+    Why only the tokenize stage shards: tokenization is >90% of the
+    decode work and embarrassingly parallel over cursors.  The splice is
+    O(K) on cursor metadata (tiny), and the LZ expansion resolves
+    back-references by pointer doubling over the OUTPUT array — a
+    DEFLATE ref may chain transitively through the full 32 KiB window of
+    every earlier block (no FULL_FLUSH history wipe in general streams),
+    so a sharded expansion would need an all-gather of the whole output
+    per doubling step; the ICI traffic of log2(n) all-gathers exceeds
+    the replicated compute it saves at any realistic stream size.
+    Scale-out across chips for inflate therefore comes from
+    data-parallel INDEPENDENT units — concatenated gzip members
+    (parallel/members.py) and full-flush chunk boundaries — exactly the
+    seams the reference's framing exposes (SURVEY.md §2 P1)."""
     from ..kernels.inflate_device2 import inflate_device_v2
 
     return inflate_device_v2(
