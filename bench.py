@@ -261,6 +261,9 @@ def _run_tpu_section(extras, txt):
         import tpuzlib
 
         os.environ["TPUZLIB_DEVICE"] = "1"
+        # staged device inflate: the fused program's first compile is
+        # unbounded through the tunnel (see inflate_device2.use_fused)
+        os.environ["TPUZLIB_FUSED"] = "0"
         try:
             src = (txt * 18)[: 8 << 20]
             wire = bytes(tpuzlib.deflate(src, level=6))  # warm/compile
@@ -289,10 +292,13 @@ def _run_tpu_section(extras, txt):
     _metric(extras, "api_device", 900, api_device)
 
     def inflate_e2e():
+        import os
+
         from tpuzlib.kernels.inflate_device2 import inflate_device_v2
 
         import tpuzlib
 
+        os.environ["TPUZLIB_FUSED"] = "0"  # bounded compiles (see above)
         src = (txt * 18)[: 8 << 20]
         wire = bytes(tpuzlib.deflate(src, level=6))
         payload = np.ascontiguousarray(np.frombuffer(wire[2:-4], np.uint8))
