@@ -119,6 +119,56 @@ def test_v3_screens_match_bruteforce():
         assert bsc == sc[i] and (bsc == 0 or bd == d[i]), (i, sc[i], d[i], bsc, bd)
 
 
+def test_v3_screen_tile_boundary():
+    """Round-4 gridded screens: matches whose candidates live in the
+    PREVIOUS grid tile must still be found (the (1,128) halo row carries
+    the cross-tile shift dependency)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuzlib.kernels.deflate_device import _build_w32
+    from tpuzlib.kernels.screen_pallas import TR, near_screen
+
+    span = TR * 128
+    total = span + 4 * 128  # 2 tiles, second one short (padding path)
+    data = np.zeros(total, np.uint8)
+    # pattern straddling the tile boundary: positions just after `span`
+    # match candidates just before it (distance 3 < nd)
+    pat = np.asarray([7, 11, 13], np.uint8)
+    data[span - 30 : span + 30] = np.tile(pat, 20)
+    dj = jnp.asarray(data)
+    w0 = _build_w32(jnp, dj)
+    w1 = jnp.concatenate([w0[4:], jnp.zeros(4, jnp.uint32)])
+    w2 = jnp.concatenate([w0[8:], jnp.zeros(8, jnp.uint32)])
+    w3 = jnp.concatenate([w0[12:], jnp.zeros(12, jnp.uint32)])
+    mincand = jnp.zeros(total, jnp.int32)
+    lim16 = jnp.clip(total - jnp.arange(total), 0, 16).astype(jnp.int32)
+    best = np.asarray(near_screen(jax, jnp, w0, w1, w2, w3, mincand, lim16, 8))
+    for i in range(span - 2, span + 20):
+        sc = best[i] >> 16
+        d = 0xFFFF - (best[i] & 0xFFFF)
+        assert sc >= 3 and d == 3, (i, sc, d)
+
+
+def test_parse_pallas_matches_xla():
+    """Gridded Pallas segment parse == XLA reference parse on random
+    step tapes (incl. non-multiples of the group span)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuzlib.kernels.deflate_device import segment_parse_xla
+    from tpuzlib.kernels.parse_pallas import segment_parse_pallas
+
+    rng = np.random.default_rng(7)
+    for n in (1024, 5000, 66000, 1 << 17):
+        t = np.arange(n) % 1024
+        step = rng.integers(1, 40, n).astype(np.int32)
+        step = np.minimum(step, 1024 - t)
+        a = np.asarray(segment_parse_pallas(jax, jnp, jnp.asarray(step), n))
+        b = np.asarray(segment_parse_xla(jax, jnp, jnp.asarray(step), n))
+        assert (a == b).all(), n
+
+
 def test_device_deflater_streaming_state():
     """Device-resident streaming state: the match window is carried
     across append() calls ON DEVICE, and cross-append matches are found
@@ -147,4 +197,7 @@ def test_device_deflater_public_export():
     import tpuzlib
 
     assert tpuzlib.DeviceDeflater.__name__ == "DeviceDeflater"
-    assert "DeviceDeflater" in tpuzlib.__all__
+    # NOT in __all__: `from tpuzlib import *` must never pull in jax
+    # (round-3 advisor finding); discoverable via dir() instead
+    assert "DeviceDeflater" not in tpuzlib.__all__
+    assert "DeviceDeflater" in dir(tpuzlib)

@@ -37,6 +37,9 @@ def __getattr__(name):
 
 __version__ = "0.1.0"
 
+# DeviceDeflater is deliberately NOT in __all__: `from tpuzlib import *`
+# must never trigger the lazy jax import (host-only users).  It remains
+# available as an opt-in attribute and is listed in __dir__ below.
 __all__ = [
     "adler32",
     "crc32",
@@ -47,5 +50,8 @@ __all__ = [
     "InflateResult",
     "Deflater",
     "deflate",
-    "DeviceDeflater",
 ]
+
+
+def __dir__():
+    return sorted(set(globals()) | {"DeviceDeflater"})

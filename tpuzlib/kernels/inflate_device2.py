@@ -667,15 +667,18 @@ def inflate_device_v2(
         win[-len(window):] = window
 
     any_open = any(p[5] for p in plan)
-    # TPUZLIB_FUSED=0 selects the staged tokenize->splice->expand
-    # dispatches instead of the single fused program: the fused compile
-    # is minutes-to-unbounded through the remote-compile tunnel (first
-    # time only), which benches and short-lived processes can't afford
+    # TPUZLIB_FUSED=1 opts INTO the single fused tokenize+splice+expand
+    # program; the default is the staged dispatches.  The fused program
+    # saves two ~24 ms dispatches but its first compile is
+    # minutes-to-unbounded through the remote-compile tunnel — an
+    # unacceptable first-call contract for the public path (reference
+    # one-shot: sd-inflate.ts:189), so it must be opt-in (round-3
+    # verdict item 4: default path == measured path).
     import os as _os
 
     use_fused = (
         mesh is None and device_expand and not any_open
-        and _os.environ.get("TPUZLIB_FUSED", "1") != "0"
+        and _os.environ.get("TPUZLIB_FUSED", "0") == "1"
     )
     out = None
     total = 0

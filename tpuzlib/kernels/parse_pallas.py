@@ -21,6 +21,12 @@ Three phases over a (8*NSEG, 128) sub-major layout (row = sub*NSEG+seg):
 Capability parity: replaces the reference's serial token loop
 (deflate.ts:1054-1182 deflate_slow emission order) for the device path;
 the forced segment break is the documented +0.18% ratio trade.
+
+Round 4: gridded over groups of GSEG segments.  The ungridded kernel
+kept the 7 saved a_k doubling tables for the WHOLE batch in VMEM — at
+the bench shape (1M positions, 8192 rows) that alone is ~28 MB against
+the 16 MB limit.  Segments are fully independent, so each grid step now
+owns GSEG segments in a group-local sub-major layout (~2.5 MB live).
 """
 
 from __future__ import annotations
@@ -31,15 +37,17 @@ import numpy as np
 
 SEG = 1024
 SUBS = 8  # rows per segment (SEG // 128)
+GSEG = 64  # segments per grid step
 
 
 @functools.lru_cache()
-def _kernel_fn(nseg: int, interpret: bool):
+def _kernel_fn(ngroups: int, interpret: bool):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    nseg = GSEG  # segments per grid step (group-local sub-major layout)
     rows = SUBS * nseg
 
     def kernel(step_ref, out_ref):
@@ -102,11 +110,13 @@ def _kernel_fn(nseg: int, interpret: bool):
         out_ref[:] = member.astype(jnp.int32)
 
     def run(step_sm):
+        blk = pl.BlockSpec((rows, 128), lambda g: (g, 0))
         return pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((ngroups * rows, 128), jnp.int32),
+            grid=(ngroups,),
+            in_specs=[blk],
+            out_specs=blk,
             interpret=interpret,
         )(step_sm)
 
@@ -121,14 +131,25 @@ def segment_parse_pallas(jax, jnp, step, n_valid, seg=SEG):
     assert seg == SEG, "kernel is specialized to SEG=1024"
     n = step.shape[0]
     nseg = -(-n // seg)
-    pad = nseg * seg - n
+    ngroups = -(-nseg // GSEG)
+    nsegp = ngroups * GSEG
+    pad = nsegp * seg - n
     stepp = jnp.pad(step, (0, pad), constant_values=1)
     # clip steps so jumps stay inside the segment even in the pad region
-    t = jnp.arange(nseg * seg, dtype=jnp.int32) % seg
+    t = jnp.arange(nsegp * seg, dtype=jnp.int32) % seg
     stepp = jnp.minimum(stepp, seg - t)
-    # (nseg, 8, 128) -> sub-major (8, nseg, 128) -> (8*nseg, 128)
-    sm = stepp.reshape(nseg, SUBS, 128).transpose(1, 0, 2).reshape(SUBS * nseg, 128)
+    # (groups, GSEG, 8, 128) -> group-local sub-major
+    # (groups, 8, GSEG, 128) -> (groups*8*GSEG, 128)
+    sm = (
+        stepp.reshape(ngroups, GSEG, SUBS, 128)
+        .transpose(0, 2, 1, 3)
+        .reshape(ngroups * SUBS * GSEG, 128)
+    )
     interpret = jax.default_backend() != "tpu"
-    member = _kernel_fn(nseg, interpret)(sm)
-    member = member.reshape(SUBS, nseg, 128).transpose(1, 0, 2).reshape(nseg * seg)
+    member = _kernel_fn(ngroups, interpret)(sm)
+    member = (
+        member.reshape(ngroups, SUBS, GSEG, 128)
+        .transpose(0, 2, 1, 3)
+        .reshape(nsegp * seg)
+    )
     return member[:n].astype(bool) & (jnp.arange(n) < n_valid)

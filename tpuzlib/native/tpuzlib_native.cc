@@ -571,7 +571,10 @@ int64_t tz_tokenize_impl(const uint8_t* data, int64_t total, int64_t ctx_len,
       if (TAGGED && cand == -1) break;
       int64_t cpos = TAGGED ? (int64_t)((uint32_t)cand & POS_MASK) : cand;
       if (cpos < min_pos) break;
-      if (cpos >= i) { cand = prev[cpos]; continue; }
+      // chain entries are always < i (inserted before this call); a
+      // position at/after i would mean a stale/corrupt chain — stop
+      // rather than walk prev[] for a slot this call never inserted
+      if (cpos >= i) break;
       if (TAGGED && (((uint32_t)cand ^ my_tag) >> POS_BITS) != 0) {
         // different 4-gram (or a 1/2048 tag alias): skip without
         // touching the candidate's data at all
