@@ -7,8 +7,19 @@ trimmed.  Baselines are the only numbers the reference ever recorded
 (BASELINE.md): deflate L6 = 39-48 ms on 471,162 B (~11 MB/s midpoint).
 The reference did not record an inflate time.
 
-Extras report the TPU checksum kernels and the device codec path, plus a
-large-corpus throughput figure (the multi-core/production path).
+Extras report the TPU kernels and the device codec paths.  Two numbers
+per codec path:
+  *_dev_MBps  — device time, measured with outputs scalar-reduced INSIDE
+                jit and the measured dispatch floor subtracted (through
+                the remote tunnel, pulling full outputs times the ~25-50
+                MB/s tunnel, not the chip; see tools/profile_v3.py)
+  *_e2e_MBps  — honest wall time incl. the tunnel dispatch + result pull
+
+Round-4 budget discipline: every TPU program this bench compiles is
+pre-compiled into the persistent cache by `python bench.py --warm`
+(tools/warm_cache.py invokes it during the round), so the driver run
+only replays cached executables; per-metric alarms are small and real
+exceptions are recorded per-key (never masked as bare timeouts).
 """
 
 import json
@@ -16,6 +27,8 @@ import sys
 import time
 
 import numpy as np
+
+WARM = "--warm" in sys.argv[1:]
 
 
 def timed(fn, reps=10):
@@ -44,50 +57,43 @@ def main():
     n = len(txt)
     extras = {}
 
-    # host sections measure the HOST path explicitly; the TPU section
-    # measures the device paths (incl. the public-API device dispatch)
-    # under its own per-metric alarms
-    prev_env = os.environ.get("TPUZLIB_DEVICE")
+    # host sections measure the HOST path explicitly (device dispatch off)
+    prev_device = os.environ.get("TPUZLIB_DEVICE")
     os.environ["TPUZLIB_DEVICE"] = "0"
+    try:
+        # --- headline: deflate L6, reference methodology ----------------
+        wire6 = bytes(tpuzlib.deflate(txt, level=6))
+        t_deflate = timed(lambda: tpuzlib.deflate(txt, level=6), reps=12)
+        deflate_mbps = n / t_deflate / 1e6
+        extras["deflate_l6_ms"] = round(t_deflate * 1000, 1)
+        extras["deflate_l6_size"] = len(wire6)
+        extras["deflate_l6_size_vs_ref"] = len(wire6) - 193730
 
-    # --- headline: deflate L6, reference methodology --------------------
-    wire6 = bytes(tpuzlib.deflate(txt, level=6))
-    t_deflate = timed(lambda: tpuzlib.deflate(txt, level=6), reps=12)
-    deflate_mbps = n / t_deflate / 1e6
-    extras["deflate_l6_ms"] = round(t_deflate * 1000, 1)
-    extras["deflate_l6_size"] = len(wire6)
-    extras["deflate_l6_size_vs_ref"] = len(wire6) - 193730
+        # --- inflate (no recorded reference number) ---------------------
+        t_inflate = timed(lambda: tpuzlib.inflate(wire6), reps=12)
+        extras["inflate_MBps"] = round(n / t_inflate / 1e6, 1)
 
-    # --- inflate (no recorded reference number) -------------------------
-    t_inflate = timed(lambda: tpuzlib.inflate(wire6), reps=12)
-    extras["inflate_MBps"] = round(n / t_inflate / 1e6, 1)
-
-    # --- large-corpus throughput (production path) ----------------------
-    # one warm pass faults in the working set (page faults cost ~50us
-    # here), then steady-state is timed: best of 3
-    big = (txt * 70)[: 32 << 20]
-    cbig = tpuzlib.deflate(big, level=6)
-    obig = tpuzlib.inflate(cbig)
-    assert bytes(obig) == big
-    best_d = best_i = 1e9
-    for _ in range(3):
-        t0 = time.time()
+        # --- large-corpus throughput (production path) ------------------
+        big = (txt * 70)[: 32 << 20]
         cbig = tpuzlib.deflate(big, level=6)
-        best_d = min(best_d, time.time() - t0)
-        t0 = time.time()
         obig = tpuzlib.inflate(cbig)
-        best_i = min(best_i, time.time() - t0)
-    extras["deflate_l6_32MB_MBps"] = round(len(big) / best_d / 1e6, 1)
-    extras["inflate_32MB_MBps"] = round(len(big) / best_i / 1e6, 1)
+        assert bytes(obig) == big
+        best_d = best_i = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            cbig = tpuzlib.deflate(big, level=6)
+            best_d = min(best_d, time.time() - t0)
+            t0 = time.time()
+            obig = tpuzlib.inflate(cbig)
+            best_i = min(best_i, time.time() - t0)
+        extras["deflate_l6_32MB_MBps"] = round(len(big) / best_d / 1e6, 1)
+        extras["inflate_32MB_MBps"] = round(len(big) / best_i / 1e6, 1)
+    finally:
+        if prev_device is None:
+            del os.environ["TPUZLIB_DEVICE"]
+        else:
+            os.environ["TPUZLIB_DEVICE"] = prev_device
 
-    # --- TPU kernels: one alarm budget PER metric, extras recorded as
-    # they land (round-2 lesson: a single whole-section alarm lost every
-    # TPU number to one slow compile; with the persistent compile cache
-    # warm, each metric takes seconds)
-    if prev_env is None:
-        del os.environ["TPUZLIB_DEVICE"]
-    else:
-        os.environ["TPUZLIB_DEVICE"] = prev_env
     _run_tpu_section(extras, txt)
 
     result = _emit(deflate_mbps, extras)
@@ -119,25 +125,31 @@ def _loop_time(jax, fn, init, k1=2, k2=8, reps=3):
 
 def _metric(extras, key, budget, fn):
     """Run one TPU metric under its own alarm; failures are recorded
-    per-key and never erase other metrics (round-2 lesson).  NOTE the
-    alarm cannot interrupt a blocking XLA compile — it fires when the
-    native call returns — so completed extras are also checkpointed to a
-    sidecar file, surviving an external kill of the whole process."""
+    per-key with the REAL exception text and never erase other metrics.
+    NOTE the alarm cannot interrupt a blocking XLA compile — it fires
+    when the native call returns — so completed extras are also
+    checkpointed to a sidecar file, surviving an external kill."""
     import json as _json
     import signal
 
     def _alarm(sig, frame):
-        raise TimeoutError("timed out")
+        raise TimeoutError(f"alarm after {budget}s")
 
     old = signal.signal(signal.SIGALRM, _alarm)
     signal.alarm(budget)
+    t0 = time.time()
     try:
         fn()
     except Exception as e:  # pragma: no cover
-        extras.setdefault("tpu_errors", {})[key] = str(e)[:120]
+        extras.setdefault("tpu_errors", {})[key] = (
+            f"{type(e).__name__}: {str(e)[:160]}"
+        )
     finally:
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
+        extras.setdefault("tpu_metric_seconds", {})[key] = round(
+            time.time() - t0, 1
+        )
         try:
             with open("bench_partial.json", "w") as f:
                 _json.dump(extras, f)
@@ -145,11 +157,31 @@ def _metric(extras, key, budget, fn):
             pass
 
 
+def _scalar_reduced(jax, jnp, fn):
+    """jit(fn) with every output summed to ONE f32 scalar, so timing
+    excludes the tunnel's slow full-array pulls."""
+    return jax.jit(
+        lambda *a: jax.tree_util.tree_reduce(
+            lambda acc, x: acc + jnp.sum(x.astype(jnp.float32)),
+            fn(*a),
+            jnp.float32(0),
+        )
+    )
+
+
+def _floor(jax, jnp):
+    tiny = jax.jit(lambda x: x + 1)
+    tz = jnp.zeros(8, jnp.int32)
+    np.asarray(tiny(tz))
+    fl = 1e9
+    for _ in range(5):
+        t0 = time.time()
+        np.asarray(tiny(tz))
+        fl = min(fl, time.time() - t0)
+    return fl
+
+
 def _run_tpu_section(extras, txt):
-    import time
-
-    import numpy as np
-
     try:
         import jax
 
@@ -160,17 +192,24 @@ def _run_tpu_section(extras, txt):
         extras["tpu_error"] = str(e)[:160]
         return
 
+    # generous alarms in --warm mode (first compiles take minutes through
+    # the tunnel); tight ones for the driver run against the warm cache
+    b_cks, b_def, b_inf, b_api = (
+        (1800, 2400, 2400, 1800) if WARM else (300, 420, 420, 420)
+    )
+
+    floor = _floor(jax, jnp)
+    extras["tpu_dispatch_floor_ms"] = round(floor * 1000, 2)
+
     def checksums():
         from tpuzlib.kernels.adler32 import adler32_device
         from tpuzlib.kernels.crc32 import crc32_device
 
         data = np.frombuffer((txt * 140)[: 64 << 20], np.uint8)
-        # device-resident input: the production scenario is checksums
-        # over data already in HBM (decompressed shards)
         ddata = jax.device_put(jnp.asarray(data))
         jax.block_until_ready(ddata)
-        crc_val = crc32_device(ddata)  # warm/compile
-        crc32_device(ddata)  # second warm (transfer-program cache)
+        crc_val = crc32_device(ddata)
+        crc32_device(ddata)
         t0 = time.time()
         crc_val = crc32_device(ddata)
         extras["tpu_crc32_GBps"] = round(len(data) / (time.time() - t0) / 1e9, 2)
@@ -185,12 +224,9 @@ def _run_tpu_section(extras, txt):
 
         # device-time split (loop differencing; excludes the ~24 ms
         # tunnel dispatch floor baked into the e2e numbers above)
-        from tpuzlib.kernels.crc32_pallas import crc32_device_jit
         from tpuzlib.kernels.adler32_pallas import adler32_device_jit
+        from tpuzlib.kernels.crc32_pallas import crc32_device_jit
 
-        # the loop body must depend on the carry AND mutate the data,
-        # else XLA hoists the (loop-invariant) checksum out of the loop
-        # and the differenced time collapses to ~0
         def crc_body(i, st):
             d, acc = st
             d = d.at[0].set((acc & 127).astype(jnp.uint8))
@@ -207,7 +243,7 @@ def _run_tpu_section(extras, txt):
         per = _loop_time(jax, adl_body, (ddata, jnp.uint32(0)), k1=2, k2=8)
         extras["tpu_adler32_dev_GBps"] = round(len(data) / per / 1e9, 2)
 
-    _metric(extras, "checksums", 600, checksums)
+    _metric(extras, "checksums", b_cks, checksums)
 
     def deflate_kernel():
         from tpuzlib.kernels import deflate_device as dd
@@ -221,49 +257,93 @@ def _run_tpu_section(extras, txt):
         cv = jnp.zeros(batch, jnp.int32)
         nv = jnp.full(batch, chunk, jnp.int32)
         lv = jnp.zeros(batch, jnp.int32)
+        mb = batch * chunk / 1e6
 
-        # honest wall number (includes tunnel dispatch)
+        # honest wall number (includes tunnel dispatch + words pull)
         w, tb, ok = enc(bufs, cv, nv, lv)
-        np.asarray(tb)
+        assert np.asarray(ok).all()
         best = 1e9
         for _ in range(3):
             t0 = time.time()
             w, tb, ok = enc(bufs, cv, nv, lv)
-            np.asarray(tb)
+            np.asarray(w)
             best = min(best, time.time() - t0)
-        extras["tpu_deflate_e2e_MBps"] = round(batch * chunk / best / 1e6, 2)
+        extras["tpu_deflate_e2e_MBps"] = round(mb / best, 2)
 
-        # device-time number: e2e minus the measured dispatch+pull floor
-        # (a trivial kernel round-trip).  Wrapping the whole v3 encoder
-        # in lax.fori_loop for loop-differencing proved an unbounded
-        # compile through the tunnel; the floor subtraction needs only a
-        # 1-op program and bounds device time from above.
-        tiny = jax.jit(lambda x: x + 1)
-        tz = jnp.zeros(8, jnp.int32)
-        np.asarray(tiny(tz))
-        floor = 1e9
+        # device time: scalar-reduced outputs, floor-subtracted
+        red = _scalar_reduced(jax, jnp, enc)
+        np.asarray(red(bufs, cv, nv, lv))
+        best = 1e9
         for _ in range(5):
             t0 = time.time()
-            np.asarray(tiny(tz))
-            floor = min(floor, time.time() - t0)
-        extras["tpu_dispatch_floor_ms"] = round(floor * 1000, 2)
-        dev = max(best - floor, 1e-9)
-        extras["tpu_deflate_kernel_MBps"] = round(batch * chunk / dev / 1e6, 2)
+            np.asarray(red(bufs, cv, nv, lv))
+            best = min(best, time.time() - t0)
+        dev = best - floor
+        if dev < 0.2 * floor:
+            # floor-bound: a throughput number here would be meaningless
+            extras["tpu_deflate_dev_MBps"] = None
+            extras["tpu_deflate_dev_floor_bound"] = True
+        else:
+            extras["tpu_deflate_dev_MBps"] = round(mb / dev, 2)
+        extras["tpu_deflate_dev_ms"] = round(max(dev, 0) * 1000, 1)
 
-    _metric(extras, "deflate", 900, deflate_kernel)
+    _metric(extras, "deflate", b_def, deflate_kernel)
+
+    def inflate_device():
+        import zlib
+
+        from tpuzlib.kernels.inflate_device2 import inflate_device_v2
+
+        src = (txt * 18)[: 8 << 20]
+        wire = zlib.compress(src, 6)
+        payload = np.ascontiguousarray(np.frombuffer(wire[2:-4], np.uint8))
+        mb = len(src) / 1e6
+
+        out = inflate_device_v2(payload, size_hint=len(src) + 1024)
+        assert out is not None and bytes(out) == src, "device inflate fell back"
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            inflate_device_v2(payload, size_hint=len(src) + 1024)
+            best = min(best, time.time() - t0)
+        extras["tpu_inflate_e2e_MBps"] = round(mb / best, 2)
+
+        # host-expand variant: tokens pulled once, native expansion
+        out2 = inflate_device_v2(
+            payload, size_hint=len(src) + 1024, device_expand=False
+        )
+        assert out2 is not None and bytes(out2) == src
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            inflate_device_v2(
+                payload, size_hint=len(src) + 1024, device_expand=False
+            )
+            best = min(best, time.time() - t0)
+        extras["tpu_inflate_hostexp_MBps"] = round(mb / best, 2)
+
+        from tpuzlib.utils import trace
+
+        counts = trace.get_counters()
+        extras["tpu_inflate_fallbacks"] = int(
+            counts.get("inflate.device_fallback", 0)
+        )
+
+    _metric(extras, "inflate", b_inf, inflate_device)
 
     def api_device():
         """Public one-shot entry points on the TPU host: the paths a
-        reference user actually calls (sd-inflate.ts:189, sd-deflate.ts:263)
-        dispatched to the device kernels above the size threshold."""
+        reference user actually calls (sd-inflate.ts:189,
+        sd-deflate.ts:263) dispatched to the device kernels above the
+        size threshold."""
         import os
 
         import tpuzlib
 
+        saved = {
+            k: os.environ.get(k) for k in ("TPUZLIB_DEVICE", "TPUZLIB_FUSED")
+        }
         os.environ["TPUZLIB_DEVICE"] = "1"
-        # staged device inflate: the fused program's first compile is
-        # unbounded through the tunnel (see inflate_device2.use_fused)
-        os.environ["TPUZLIB_FUSED"] = "0"
         try:
             src = (txt * 18)[: 8 << 20]
             wire = bytes(tpuzlib.deflate(src, level=6))  # warm/compile
@@ -287,30 +367,13 @@ def _run_tpu_section(extras, txt):
                 + counts.get("inflate.device_fallback", 0)
             )
         finally:
-            os.environ["TPUZLIB_DEVICE"] = "0"
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
 
-    _metric(extras, "api_device", 900, api_device)
-
-    def inflate_e2e():
-        import os
-
-        from tpuzlib.kernels.inflate_device2 import inflate_device_v2
-
-        import tpuzlib
-
-        os.environ["TPUZLIB_FUSED"] = "0"  # bounded compiles (see above)
-        src = (txt * 18)[: 8 << 20]
-        wire = bytes(tpuzlib.deflate(src, level=6))
-        payload = np.ascontiguousarray(np.frombuffer(wire[2:-4], np.uint8))
-        out = inflate_device_v2(payload, size_hint=len(src) + 1024)
-        assert out is not None and bytes(out) == src, "device inflate fell back"
-        t0 = time.time()
-        inflate_device_v2(payload, size_hint=len(src) + 1024)
-        extras["tpu_inflate_e2e_MBps"] = round(
-            len(src) / (time.time() - t0) / 1e6, 2
-        )
-
-    _metric(extras, "inflate", 900, inflate_e2e)
+    _metric(extras, "api_device", b_api, api_device)
 
 
 def _emit(deflate_mbps, extras):

@@ -40,6 +40,80 @@ def test_roundtrip_own_stream(paradiselost, device_expand):
     assert out is not None and bytes(out) == paradiselost
 
 
+def test_pallas_tokenizer_roundtrip(paradiselost, monkeypatch):
+    """Round-4 Pallas cursor tokenizer (interpret mode on CPU): dynamic,
+    fixed, and stored blocks through the full staged path.  The CPU
+    default is the XLA tokenize (interpret Pallas is slow), so this
+    opts in explicitly; on a TPU backend the Pallas path is the
+    default."""
+    monkeypatch.setenv("TPUZLIB_PALLAS_TOK", "1")
+    src = paradiselost[: 1 << 16]
+    wire = bytes(tpuzlib.deflate(src, level=6))
+    out = inflate_device_v2(
+        _raw(wire[2:-4]), stride_bits=1 << 13, max_cursors=256
+    )
+    assert out is not None and bytes(out) == src
+    # fixed-tree stream
+    fx = zlib.compressobj(1, zlib.DEFLATED, -15)
+    data = fx.compress(b"abcd" * 600) + fx.flush()
+    out = inflate_device_v2(_raw(data))
+    assert bytes(out) == b"abcd" * 600
+    # stored blocks (incompressible)
+    rng = np.random.default_rng(3)
+    rnd = rng.integers(0, 256, 1 << 14).astype(np.uint8).tobytes()
+    zc = zlib.compress(rnd, 6)
+    out = inflate_device_v2(_raw(zc[2:-4]))
+    assert out is not None and bytes(out) == rnd
+
+
+def test_pallas_tokenizer_host_expand(paradiselost, monkeypatch):
+    monkeypatch.setenv("TPUZLIB_PALLAS_TOK", "1")
+    src = paradiselost[: 1 << 15]
+    wire = bytes(tpuzlib.deflate(src, level=9))
+    out = inflate_device_v2(
+        _raw(wire[2:-4]), stride_bits=1 << 13, max_cursors=128,
+        device_expand=False,
+    )
+    assert out is not None and bytes(out) == src
+
+
+def test_splice_repair_spurious_eob(paradiselost, monkeypatch):
+    """Round-4 regression: this exact stream decodes a spurious EOB in
+    one cursor's speculation garbage (observed), which used to abort the
+    whole device decode; the host boundary repair must bridge it."""
+    monkeypatch.setenv("TPUZLIB_DEBUG_INFLATE", "")
+    src = (paradiselost * 2)[: 1 << 20]
+    wire = bytes(tpuzlib.deflate(src, level=6))
+    from tpuzlib.utils import trace
+
+    before = trace.get_counters().get("inflate.splice_repair", 0)
+    out = inflate_device_v2(_raw(wire[2:-4]), size_hint=len(src) + 1024)
+    assert out is not None and bytes(out) == src
+    assert trace.get_counters().get("inflate.splice_repair", 0) > before
+
+
+def test_splice_repair_forced_matches_fast_path(paradiselost, monkeypatch):
+    """Forced repair on healthy streams must reproduce the fast path's
+    bytes exactly (covers the host keep-bounds walk + compaction)."""
+    src = paradiselost[: 1 << 18]
+    wire = bytes(tpuzlib.deflate(src, level=6))
+    fast = inflate_device_v2(_raw(wire[2:-4]), size_hint=len(src) + 1024)
+    assert fast is not None and bytes(fast) == src
+    monkeypatch.setenv("TPUZLIB_FORCE_REPAIR", "1")
+    rep = inflate_device_v2(_raw(wire[2:-4]), size_hint=len(src) + 1024)
+    assert rep is not None and bytes(rep) == src
+    # stored blocks + sync gaps through the forced-repair path too
+    rng = np.random.default_rng(9)
+    mixed = (
+        paradiselost[: 1 << 16]
+        + rng.integers(0, 256, 1 << 15).astype(np.uint8).tobytes()
+        + paradiselost[: 1 << 15]
+    )
+    zc = bytes(tpuzlib.deflate(mixed, level=6))
+    rep = inflate_device_v2(_raw(zc[2:-4]), size_hint=len(mixed) + 1024)
+    assert rep is not None and bytes(rep) == mixed
+
+
 def test_roundtrip_zlib_stream(paradiselost):
     for lvl in (1, 6, 9):
         zc = zlib.compress(paradiselost, lvl)

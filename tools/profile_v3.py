@@ -50,17 +50,35 @@ def main():
     print(f"floor {floor*1000:.1f} ms", flush=True)
 
     def bench(name, fn, *args, reps=5):
-        r = fn(*args)
-        jax.tree_util.tree_map(lambda a: np.asarray(a).ravel()[:1], r)
+        # reduce outputs to scalars INSIDE jit: the tunnel pulls at only
+        # ~25-50 MB/s, so pulling full outputs would time the tunnel
+        red = jax.jit(
+            lambda *a: jax.tree_util.tree_reduce(
+                lambda acc, x: acc + jnp.sum(x.astype(jnp.float32)),
+                fn(*a), jnp.float32(0),
+            )
+        )
+        np.asarray(red(*args))
         best = 1e9
         for _ in range(reps):
             t0 = time.time()
-            r = fn(*args)
-            jax.tree_util.tree_map(lambda a: np.asarray(a).ravel()[:1], r)
+            np.asarray(red(*args))
             best = min(best, time.time() - t0)
         print(f"{name}: {max(best-floor,0)*1000:.1f} ms (e2e {best*1000:.1f})",
               flush=True)
         return best - floor
+
+    # tunnel pull bandwidth calibration
+    for mb in (1, 4, 16):
+        arr = jnp.zeros((mb << 20) // 4, jnp.uint32) + jnp.uint32(1)
+        np.asarray(arr)
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            np.asarray(arr)
+            best = min(best, time.time() - t0)
+        print(f"pull {mb} MB: {best*1000:.1f} ms = "
+              f"{mb/max(best-floor,1e-9):.1f} MB/s", flush=True)
 
     # ---- stage A: match_lengths_v3 -------------------------------------
     li = jnp.arange(stride, dtype=jnp.int32)[None, :]

@@ -72,9 +72,11 @@ class BitReader:
 # --- dynamic header parsing -------------------------------------------------
 
 
-def parse_dynamic_header(reader: BitReader):
+def parse_dynamic_header(reader: BitReader, return_lengths: bool = False):
     """Parse HLIT/HDIST/HCLEN + code-length RLE into two decode LUTs.
 
+    With return_lengths, also returns the (lit_lengths, dist_lengths)
+    arrays (the canonical-decode device path needs lengths, not LUTs).
     Parity with reference src/infblocks.ts:334-523 (DTREE..DTREE states).
     """
     hlit = reader.bits(5) + 257
@@ -137,6 +139,8 @@ def parse_dynamic_header(reader: BitReader):
         lut_dist = huffman.build_lut(lengths[hlit:], "dist")
     except huffman.TreeError as e:
         raise DataError(str(e))
+    if return_lengths:
+        return lut_lit, lut_dist, lengths[:hlit], lengths[hlit:]
     return lut_lit, lut_dist
 
 

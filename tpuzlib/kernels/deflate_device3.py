@@ -126,44 +126,59 @@ def match_lengths_v3(jax, jnp, data, lim16, limit, mincand, chid, level):
     link = (sc >= 16) & (d > 0) & (d16 == d) & (ch16 == chid)
 
     # --- residual extension: >=16 screens whose chain breaks -----------
+    # Measured on the text corpus: ~3K of 1.18M positions need this, so
+    # the candidate list is tiny; nonzero(size=) compacts it without the
+    # round-3 full-array sort, and the compare loop walks 16 B/step.
+    # Overflowing the cap only shortens those matches to their chain
+    # value (ratio, not correctness).
     need = (sc >= 16) & (d > 0) & ~link & (limit > 16)
-    ext_cap = max(256, total // 32)
-    ekey = jnp.where(need, pos, total)
-    skey, sdist = jax.lax.sort((ekey, d), num_keys=1, is_stable=True)
-    epos = skey[:ext_cap]
+    ext_cap = max(1024, total // 256)
+    epos = jnp.nonzero(need, size=ext_cap, fill_value=total)[0].astype(
+        jnp.int32
+    )
     evalid = epos < total
     epos_c = jnp.where(evalid, epos, 0)
-    edist = sdist[:ext_cap]
+    edist = jnp.where(evalid, d[epos_c], 1)
     elim = jnp.where(evalid, limit[epos_c], 0)
-    w0hi = w1  # (bytes +4..7) pairs with w0 for 8-byte compares
 
     def cond(state):
         off, done, _ = state
         return jnp.logical_not(jnp.all(done))
 
+    def _cz(jnp, x):
+        """Trailing zero bytes of u32 (4 when x == 0)."""
+        lsb = x & (jnp.uint32(0) - x)
+        e = (
+            jax.lax.bitcast_convert_type(lsb.astype(jnp.float32), jnp.uint32)
+            >> jnp.uint32(23)
+        ).astype(jnp.int32) - 127
+        return jnp.where(x == 0, 4, e >> 3)
+
     def body(state):
         off, done, elen = state
         p = jnp.minimum(epos_c + off, total - 1)
         c = jnp.minimum(epos_c - edist + off, total - 1)
-        xl = w0[p] ^ w0[c]
-        xh = w0hi[p] ^ w0hi[c]
-        lsb = xl & (jnp.uint32(0) - xl)
-        el = (
-            jax.lax.bitcast_convert_type(lsb.astype(jnp.float32), jnp.uint32)
-            >> jnp.uint32(23)
-        ).astype(jnp.int32) - 127
-        czl = jnp.where(xl == 0, 4, el >> 3)
-        lsbh = xh & (jnp.uint32(0) - xh)
-        eh = (
-            jax.lax.bitcast_convert_type(lsbh.astype(jnp.float32), jnp.uint32)
-            >> jnp.uint32(23)
-        ).astype(jnp.int32) - 127
-        czh = jnp.where(xh == 0, 4, eh >> 3)
-        pl8 = jnp.where(xl == 0, 4 + czh, czl)
-        pl8 = jnp.clip(pl8, 0, elim - off)
-        elen = jnp.where(done, elen, off + pl8)
-        done = done | (pl8 < 8) | (off + 8 >= elim) | (off + 8 > MAX_MATCH)
-        return off + 8, done, elen
+        x0 = w0[p] ^ w0[c]
+        x1 = w1[p] ^ w1[c]
+        x2 = w2[p] ^ w2[c]
+        x3 = w3[p] ^ w3[c]
+        pl16 = jnp.where(
+            x0 != 0,
+            _cz(jnp, x0),
+            jnp.where(
+                x1 != 0,
+                4 + _cz(jnp, x1),
+                jnp.where(
+                    x2 != 0, 8 + _cz(jnp, x2), 12 + _cz(jnp, x3)
+                ),
+            ),
+        )
+        pl16 = jnp.clip(pl16, 0, elim - off)
+        elen = jnp.where(done, elen, off + pl16)
+        done = (
+            done | (pl16 < 16) | (off + 16 >= elim) | (off + 16 > MAX_MATCH)
+        )
+        return off + 16, done, elen
 
     _, _, elen = jax.lax.while_loop(
         cond, body, (jnp.int32(16), ~evalid, jnp.zeros_like(epos_c) + 16)

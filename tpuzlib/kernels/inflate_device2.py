@@ -273,13 +273,21 @@ def _plan_blocks(buf: np.ndarray):
     """Host pass 1: discover block headers and build per-block LUTs.
 
     Returns a list of [header_bit, data_start_bit, stop_bit, luts,
-    bfinal, open_end, is_stored].  stop_bit is the position of the NEXT discovered
-    header (the block's symbols must end at or before it, with only
-    empty-stored sync markers in between).  open_end=True means
-    discovery could not see past this block — the caller decodes the
-    remainder with the host engine from this block's actual end."""
-    from ..parallel.speculative import find_block_start
+    bfinal, open_end, is_stored, lens_info].  stop_bit is the position
+    of the NEXT discovered header (the block's symbols must end at or
+    before it, with only empty-stored sync markers in between).
+    open_end=True means discovery could not see past this block — the
+    caller decodes the remainder with the host engine from this block's
+    actual end.
 
+    Header discovery is ONE vectorized full-stream pass
+    (speculative.find_all_block_starts) consumed via bisect — the
+    round-3 per-block window scans cost 31 s on a 3.4 MB stream."""
+    import bisect
+
+    from ..parallel.speculative import find_all_block_starts
+
+    headers = None  # computed lazily: single-block streams never need it
     avail_bits = len(buf) * 8
     blocks = []
     bit = 0
@@ -310,7 +318,7 @@ def _plan_blocks(buf: np.ndarray):
                 blocks.append(
                     [header_bit, data_start, end,
                      (stored_lut(), np.zeros(32768, np.uint32)),
-                     bool(last), False, True]
+                     bool(last), False, True, ("stored",)]
                 )
                 if last:
                     break
@@ -318,8 +326,13 @@ def _plan_blocks(buf: np.ndarray):
                 continue
             if btype == 1:
                 luts = (fixed_litlen_lut(), fixed_dist_lut())
+                lens_info = ("fixed",)
             elif btype == 2:
-                luts = tk.parse_dynamic_header(reader)
+                ll, ld, litlens, distlens = tk.parse_dynamic_header(
+                    reader, return_lengths=True
+                )
+                luts = (ll, ld)
+                lens_info = ("dyn", litlens, distlens)
             else:
                 return blocks or None
         except (tk.DataError, tk.NeedMoreInput):
@@ -327,29 +340,29 @@ def _plan_blocks(buf: np.ndarray):
         data_start = reader.pos
         if last:
             blocks.append(
-                [header_bit, data_start, avail_bits, luts, True, False, False]
+                [header_bit, data_start, avail_bits, luts, True, False,
+                 False, lens_info]
             )
             break
         # find the next dynamic header (final ones included — the block
-        # planner, unlike segment decoding, handles BFINAL blocks).  Scan
-        # window-by-window: blocks can be hundreds of KB apart.
-        nxt = None
-        from_byte = (data_start >> 3) + 4
-        scan = 1 << 16
-        while from_byte < len(buf):
-            nxt = find_block_start(
-                buf, from_byte, window_bytes=scan, allow_final=True
+        # planner, unlike segment decoding, handles BFINAL blocks) from
+        # the one-pass full-stream header list
+        if headers is None:
+            headers = find_all_block_starts(
+                buf, from_bit=(data_start >> 3) * 8, allow_final=True
             )
-            if nxt is not None and nxt > data_start:
-                break
-            from_byte += scan - 8 if nxt is None else max((nxt >> 3) + 1 - from_byte, 1)
-            nxt = None
+        hi = bisect.bisect_right(headers, data_start)
+        nxt = headers[hi] if hi < len(headers) else None
         if nxt is None or nxt <= data_start:
             blocks.append(
-                [header_bit, data_start, avail_bits, luts, False, True, False]
+                [header_bit, data_start, avail_bits, luts, False, True,
+                 False, lens_info]
             )
             break
-        blocks.append([header_bit, data_start, nxt, luts, False, False, False])
+        blocks.append(
+            [header_bit, data_start, nxt, luts, False, False, False,
+             lens_info]
+        )
         bit = nxt
     return blocks or None
 
@@ -368,7 +381,14 @@ def make_splice_compact(K: int, CAP: int):
     cursor k+1 from it.  An induction from each block's anchored first
     cursor proves every kept token is on the true chain.
 
-    Returns (ok i32, M i32, comp u32[K*CAP])."""
+    Returns (ok i32, M i32, comp u32[K*CAP], kcnt i32[K], diag) where
+    diag = (jstop, any_common, first_c, jentry_next, bp0, bp_cut), the
+    per-cursor vectors the HOST repair path (_repair_splice) needs when
+    ok == 0 — speculation can mis-sync or decode a spurious EOB in its
+    garbage prefix (probability ~2^-13 per garbage symbol, so large
+    streams with thousands of cursors hit it routinely), and the repair
+    re-decodes only the broken spans on the host instead of abandoning
+    the whole stream."""
     jax, jnp = _jnp()
 
     @jax.jit
@@ -449,18 +469,58 @@ def make_splice_compact(K: int, CAP: int):
 
         keep_lo = jnp.where(active & ~garbage, jlo, CAP)
         keep_hi = jnp.where(active & ~garbage, jnp.minimum(jcut, cnt), 0)
-        col = jnp.arange(CAP, dtype=jnp.int32)[None, :]
-        mask = (col >= keep_lo[:, None]) & (col < keep_hi[:, None])
-        flat_mask = mask.reshape(K * CAP)
-        offs = jnp.cumsum(flat_mask.astype(jnp.int32)) - flat_mask
-        M = jnp.sum(flat_mask.astype(jnp.int32))
-        comp = jnp.zeros(K * CAP, jnp.uint32).at[
-            jnp.where(flat_mask, offs, K * CAP - 1)
-        ].max(jnp.where(flat_mask, tok_pack, 0))
-        kcnt = jnp.clip(keep_hi - keep_lo, 0, CAP)
-        return ok.astype(jnp.int32), M, comp, kcnt
+        M, comp, kcnt = _compact_bounds(jax, jnp, K, CAP, tok_pack,
+                                        keep_lo, keep_hi)
+        bp0 = jnp.take_along_axis(
+            bp2, jnp.zeros((K, 1), jnp.int32), axis=1
+        )[:, 0]
+        bp_cut = jnp.take_along_axis(
+            bp2, jnp.minimum(jstop, CAP - 1)[:, None], axis=1
+        )[:, 0]
+        diag = (jstop, any_common, first_c, jentry_next, bp0, bp_cut)
+        return ok.astype(jnp.int32), M, comp, kcnt, diag
 
     return splice
+
+
+def _compact_bounds(jax, jnp, K, CAP, tok_pack, keep_lo, keep_hi):
+    """Compact tape rows [keep_lo, keep_hi) per cursor -> (M, comp,
+    kcnt); shared by the splice fast path and the repair path."""
+    col = jnp.arange(CAP, dtype=jnp.int32)[None, :]
+    mask = (col >= keep_lo[:, None]) & (col < keep_hi[:, None])
+    flat_mask = mask.reshape(K * CAP)
+    offs = jnp.cumsum(flat_mask.astype(jnp.int32)) - flat_mask
+    M = jnp.sum(flat_mask.astype(jnp.int32))
+    comp = jnp.zeros(K * CAP, jnp.uint32).at[
+        jnp.where(flat_mask, offs, K * CAP - 1)
+    ].max(jnp.where(flat_mask, tok_pack, 0))
+    kcnt = jnp.clip(keep_hi - keep_lo, 0, CAP)
+    return M, comp, kcnt
+
+
+@functools.lru_cache()
+def make_compact_bounds(K: int, CAP: int):
+    """Jitted compaction with HOST-supplied keep bounds (repair path)."""
+    jax, jnp = _jnp()
+
+    @jax.jit
+    def compact(tok_pack, keep_lo, keep_hi):
+        return _compact_bounds(jax, jnp, K, CAP, tok_pack, keep_lo, keep_hi)
+
+    return compact
+
+
+@functools.lru_cache()
+def make_row_gather(K: int, CAP: int, R: int):
+    """Jitted tape-row gather: pull R cursors' bit-position rows without
+    pulling the whole (K, CAP) tape through the tunnel."""
+    jax, jnp = _jnp()
+
+    @jax.jit
+    def gather(tok_bp, idx):
+        return tok_bp.reshape(K, CAP)[jnp.clip(idx, 0, K - 1)]
+
+    return gather
 
 
 @functools.lru_cache()
@@ -531,7 +591,7 @@ def _cursor_plan(buf: np.ndarray, stride_bits: int, max_cursors: int):
     starts, stops, block_of = [], [], []
     first, last, bstart, stored_f = [], [], [], []
     for b, p in enumerate(plan):
-        _, ds, stop, _, _, _, is_stored = p
+        _, ds, stop, _, _, _, is_stored = p[:7]
         span = max(1, stop - ds)
         nseg = max(1, min(-(-span // stride_bits), max_cursors))
         bounds = [ds + (span * i) // nseg for i in range(nseg)]
@@ -584,7 +644,7 @@ def make_inflate_fused(K: int, CAP: int, out_cap: int):
             jax, jnp, CAP, w32, starts, stops_dec, block_of,
             luts_lit, luts_dist, avail_bits,
         )
-        ok, M, comp, kcnt = splice(
+        ok, M, comp, kcnt, _diag = splice(
             tok_pack, tok_bp, cnt, end_pos, status, stops, block_starts,
             first, last, expect_eob, active,
         )
@@ -597,11 +657,215 @@ def make_inflate_fused(K: int, CAP: int, out_cap: int):
     return run
 
 
+def _repair_splice(buf, avail_bits, Kpad, CAP, K, plan, block_a, stops_a,
+                   first_a, last_a, bstart_a, active_a, stored_a,
+                   expect_eob_a, cnt_np, st_np, end_np, diag_np, tok_bp):
+    """Host repair when speculative splicing fails (ok == 0).
+
+    Speculation breaks in two data-dependent ways: a cursor's garbage
+    prefix decodes a spurious EOB (p ~ 2^-13 per garbage symbol — near
+    -certain somewhere in a stream with thousands of cursors), or a
+    cursor fails to self-sync inside the overlap window.  Both leave
+    every OTHER cursor's work intact, so instead of abandoning the
+    stream this walks cursors left-to-right per block, trusts exactly
+    the validated chain (the same induction the device splice uses), and
+    HOST-decodes only the broken spans with the vectorized segment
+    decoder, re-entering the next cursor whose tape contains a decoded
+    chain position.  Reference semantics are unchanged — this is pure
+    scheduling recovery (the reference's serial decode has no analog).
+
+    Returns (keep_lo, keep_hi, bridge_ins, block_end_bits) or None when
+    the stream needs the full host engine (real data errors, truncation,
+    unparseable structure)."""
+    import jax.numpy as jnp
+
+    jstop, anyc, firstc, jentry, bp0, bp_cut = diag_np
+    w64 = tk.byte_windows64(buf)
+    keep_lo = np.full(Kpad, CAP, np.int32)
+    keep_hi = np.zeros(Kpad, np.int32)
+    bridge_ins: dict[int, tuple] = {}
+    block_end_bits: list[int] = []
+    row_cache: dict[int, np.ndarray] = {}
+    RG = 16
+    gather = make_row_gather(Kpad, CAP, RG)
+
+    # every tunnel round-trip costs ~25 ms, so prefetch the tape rows
+    # the bridges will plausibly probe (successors of failed boundaries
+    # and of mid-block EOB cursors) in ONE batched gather
+    suspects = np.flatnonzero(
+        active_a[:K] & (~anyc[:K].astype(bool) | (st_np[:K] == ST_EOB))
+    )
+    want: list[int] = []
+    for s in suspects:
+        want.extend(range(int(s) + 1, min(int(s) + 13, K)))
+    want = sorted(set(want))
+    if want:
+        for base in range(0, len(want), 256):
+            chunk = want[base : base + 256]
+            idxs = np.full(256, chunk[-1], np.int32)
+            idxs[: len(chunk)] = chunk
+            g256 = make_row_gather(Kpad, CAP, 256)
+            rows = np.asarray(g256(tok_bp, jnp.asarray(idxs)))
+            for i, kk in enumerate(chunk):
+                row_cache[int(kk)] = rows[i]
+
+    def get_row(k):
+        if k not in row_cache:
+            base = min(k, Kpad - RG)
+            idxs = np.arange(base, base + RG, dtype=np.int32)
+            rows = np.asarray(gather(tok_bp, jnp.asarray(idxs)))
+            for i, kk in enumerate(idxs):
+                row_cache[int(kk)] = rows[i]
+        return row_cache[k]
+
+    blk_np = block_a[:K]
+    for b, p in enumerate(plan):
+        idxs = np.flatnonzero((blk_np == b) & active_a[:K])
+        if len(idxs) == 0:
+            return None
+        luts = p[3]
+        current = int(idxs[0])
+        if not (cnt_np[current] == 0 or bp0[current] == bstart_a[current]):
+            return None  # unanchored block start: real decode problem
+        keep_lo[current] = 0
+        b_end = None
+        while True:
+            st = st_np[current]
+            if st == ST_EOB:
+                # trusted EOB (current is entry-validated): real block end
+                keep_hi[current] = cnt_np[current]
+                b_end = int(end_np[current])
+                break
+            if st in (ST_ERR, ST_OOB):
+                return None  # trusted error/truncation: full fallback
+            if current == idxs[-1] and not expect_eob_a[current]:
+                keep_hi[current] = cnt_np[current]
+                b_end = int(end_np[current])
+                break
+            nxt = current + 1
+            if (
+                current != idxs[-1]
+                and anyc[current]
+                and cnt_np[nxt] > 0
+            ):
+                keep_hi[current] = min(
+                    int(jstop[current] + firstc[current]),
+                    int(cnt_np[current]),
+                )
+                keep_lo[nxt] = jentry[current]
+                current = nxt
+                continue
+
+            # ---- bridge: host-decode from current's cut ---------------
+            if jstop[current] >= cnt_np[current]:
+                return None
+            keep_hi[current] = int(jstop[current])
+            pos = int(bp_cut[current])
+            targets = [int(k2) for k2 in idxs if k2 > current]
+            guard_end = int(stops_a[int(idxs[-1])]) + 4096
+            lit_parts, dist_parts = [], []
+            sync = None
+            while True:
+                try:
+                    litl, dst, kind, newpos = tk.decode_segment(
+                        w64, pos, avail_bits, luts[0], luts[1], 4096
+                    )
+                except tk.DataError:
+                    return None
+                lit_parts.append(litl)
+                dist_parts.append(dst)
+                if kind == tk.EXIT_EOB:
+                    b_end = newpos
+                    break
+                if kind == tk.EXIT_MORE:
+                    return None  # truncated input
+                pos = newpos
+                hit = None
+                for k2 in targets:
+                    if cnt_np[k2] == 0 or pos > int(stops_a[k2]) + 2048:
+                        continue
+                    row = get_row(k2)[: cnt_np[k2]]
+                    ii = int(np.searchsorted(row, pos))
+                    if ii < cnt_np[k2] and row[ii] == pos:
+                        hit = (k2, ii)
+                        break
+                if hit is not None:
+                    sync = hit
+                    break
+                if pos > guard_end:
+                    return None
+            if lit_parts:
+                bridge_ins[current] = (
+                    np.concatenate(lit_parts),
+                    np.concatenate(dist_parts),
+                )
+            if b_end is not None:
+                break  # bridge hit the real EOB: block done
+            k2, ii = sync
+            keep_lo[k2] = ii  # cursors (current, k2) stay dead
+            current = k2
+        block_end_bits.append(b_end)
+    return keep_lo, keep_hi, bridge_ins, block_end_bits
+
+
+def _debug_splice_fail(bp2, cnt, status, stops, first_a, last_a, bstart_a,
+                       expect_eob_a, active_a, K):
+    """Numpy replica of the splice's per-cursor checks; prints the first
+    failing cursors (TPUZLIB_DEBUG_INFLATE only)."""
+    import collections
+
+    Kpad, CAP = bp2.shape
+    print("[debug] splice ok=0; statuses:",
+          dict(collections.Counter(status[:K].tolist())))
+    eobf = active_a & (status == ST_EOB)
+    c = np.cumsum(eobf.astype(np.int64))
+    base = np.maximum.accumulate(
+        np.where(first_a, c - eobf.astype(np.int64), 0)
+    )
+    garbage = active_a & ((c - eobf.astype(np.int64) - base) > 0)
+    efflast = ~garbage & (eobf | last_a)
+    next_first = np.concatenate([first_a[1:], np.ones(1, bool)])
+    boundary = active_a & ~garbage & ~efflast & ~next_first
+    nfail = 0
+    for k in range(K):
+        if not active_a[k]:
+            continue
+        good = garbage[k] or eobf[k] or (
+            (status[k] == ST_STRIDE_END)
+            and not (last_a[k] and expect_eob_a[k])
+        )
+        anch = first_a[k] and (cnt[k] == 0 or bp2[k, 0] == bstart_a[k])
+        bfail = False
+        if boundary[k]:
+            row = bp2[k][: cnt[k]]
+            jstop = np.searchsorted(row, stops[k])
+            cand = bp2[k][jstop : jstop + 192]
+            cand = cand[cand < (1 << 29)]
+            nxt = bp2[k + 1][: cnt[k + 1]]
+            bfail = not np.isin(cand, nxt).any()
+        if (not good) or bfail or (first_a[k] and not anch):
+            print(f"[debug] cursor {k}: status={status[k]} cnt={cnt[k]} "
+                  f"first={bool(first_a[k])} last={bool(last_a[k])} "
+                  f"boundary={bool(boundary[k])} good={good} "
+                  f"anchored={anch} bfail={bfail} stop={stops[k]} "
+                  f"bp0={bp2[k,0]} bstart={bstart_a[k]} "
+                  f"bp_tail={bp2[k, max(0,cnt[k]-3):cnt[k]].tolist()}")
+            if boundary[k] and bfail:
+                row = bp2[k][: cnt[k]]
+                jstop = np.searchsorted(row, stops[k])
+                print(f"        cand[:6]={bp2[k][jstop:jstop+6].tolist()} "
+                      f"next_row[:6]={bp2[k+1][:6].tolist()} "
+                      f"next_cnt={cnt[k+1]}")
+            nfail += 1
+            if nfail >= 5:
+                break
+
+
 def inflate_device_v2(
     data: np.ndarray,
     dictionary: np.ndarray | None = None,
-    stride_bits: int = 1 << 15,
-    max_cursors: int = 2048,
+    stride_bits: int | None = None,
+    max_cursors: int | None = None,
     size_hint: int | None = None,
     device_expand: bool = True,
     mesh=None,
@@ -609,32 +873,70 @@ def inflate_device_v2(
     """One-shot raw-DEFLATE decode, all heavy work on device.
 
     Pass 1 (host): speculative block-header discovery + LUT build.
-    Pass 2 (device): K-cursor tokenize, splice validation, compaction.
+    Pass 2 (device): K-cursor tokenize — by default the Pallas canonical
+    -decode kernel (kernels/inflate_pallas.py); TPUZLIB_PALLAS_TOK=0
+    selects the round-3 XLA while_loop — then splice validation and
+    compaction.
     Pass 3 (device): LZ expansion via early-exit pointer doubling (or
     host native expansion when device_expand=False).
 
     With `mesh`, pass 2's tokenize runs as a shard_map over the mesh's
     "shards" axis (cursors are embarrassingly parallel; the compressed
-    stream and LUTs are replicated) — the multi-chip inflate path.
+    stream and LUTs are replicated) — the multi-chip inflate path (the
+    XLA tokenize; pallas_call inside shard_map is gated by check_vma).
 
     Returns decompressed bytes, or None when the stream needs the host
     engine (stored blocks, failed discovery/speculation, token-cap
     overflow)."""
+    import os as _os
+
     jax, jnp = _jnp()
+    # the Pallas tokenizer prefers short strides (its token tape lives in
+    # VMEM); the XLA tokenize amortizes better with long ones.  Default:
+    # Pallas on real TPUs (where the XLA loop measured 0.24 MB/s); the
+    # CPU default stays XLA because interpret-mode Pallas is far slower
+    # than the XLA loop there (tests opt in via TPUZLIB_PALLAS_TOK=1)
+    env_tok = _os.environ.get("TPUZLIB_PALLAS_TOK")
+    if env_tok is not None:
+        use_pallas_tok = mesh is None and env_tok != "0"
+    else:
+        import jax as _jax
+
+        use_pallas_tok = mesh is None and _jax.default_backend() == "tpu"
+    if stride_bits is None:
+        stride_bits = 1 << 13 if use_pallas_tok else 1 << 15
+    if max_cursors is None:
+        max_cursors = 8192 if use_pallas_tok else 2048
     buf = np.ascontiguousarray(np.asarray(data))
     avail_bits = len(buf) * 8
     # adapt the stride so the whole stream fits the cursor budget
     stride_bits = max(stride_bits, -(-avail_bits // max(1, max_cursors - 64)))
-    stride_bits = -(-stride_bits // 4096) * 4096
+    if use_pallas_tok:
+        # power-of-two stride buckets: the Pallas kernel compiles per
+        # (groups, slice-words, tape-rows) shape, and a tunnel compile
+        # costs minutes — sizes must quantize to a handful of buckets
+        stride_bits = 1 << max(12, (stride_bits - 1).bit_length())
+    else:
+        stride_bits = -(-stride_bits // 4096) * 4096
     cp = _cursor_plan(buf, stride_bits, max_cursors)
     if cp is None:
         return None
     K, Kpad = cp.K, cp.Kpad
+    if use_pallas_tok:
+        # whole lane-groups, bucketed to powers of two (same reason)
+        groups = -(-Kpad // 128)
+        Kpad = 128 * (1 << max(0, (groups - 1).bit_length()))
     if mesh is not None:
         ndev = int(mesh.devices.size)
         Kpad = ndev * (-(-Kpad // ndev))
     OVERLAP = 1024  # bits decoded past each stop for chain intersection
-    CAP = max(64, (stride_bits + OVERLAP) // 6)
+    # non-first cursors ALSO start one overlap early (inside the previous
+    # cursor's solid region): self-sync then has 2*OVERLAP bits to land
+    # inside the candidate window instead of 1 — the round-4 8 MB run
+    # showed ~1/3000 boundaries missing sync within a single overlap
+    CAP = max(64, (stride_bits + 3 * OVERLAP) // 6)
+    if use_pallas_tok:
+        CAP = -(-CAP // 8) * 8  # tape rows are sublane-tiled
 
     starts_a = np.full(Kpad, -1, np.int32)
     stops_a = np.zeros(Kpad, np.int32)
@@ -655,6 +957,13 @@ def inflate_device_v2(
     # fake literals); everyone else decodes OVERLAP bits past the stop
     stops_dec = np.where(last_a & stored_a, stops_a, stops_a + OVERLAP)
     expect_eob_a = last_a & ~stored_a
+    # early speculative starts (see OVERLAP comment above): never before
+    # the block's data start, and never for anchored block-first or
+    # deterministic stored cursors
+    early = active_a & ~first_a & ~stored_a
+    starts_a = np.where(
+        early, np.maximum(bstart_a, starts_a - OVERLAP), starts_a
+    ).astype(np.int32)
 
     w32 = _build_w32(jnp, jnp.asarray(buf))
     window = (
@@ -682,6 +991,18 @@ def inflate_device_v2(
     )
     out = None
     total = 0
+    repair = None
+    import time as _time
+
+    _tt = [_time.time()]
+    _tlog = []
+
+    def _tick(name):
+        if _os.environ.get("TPUZLIB_TIME_INFLATE"):
+            now = _time.time()
+            _tlog.append((name, round((now - _tt[0]) * 1000, 1)))
+            _tt[0] = now
+
     if use_fused:
         out_cap = size_hint or (8 * len(buf) + (1 << 16))
         out_cap = 1 << max(16, int(out_cap - 1).bit_length())
@@ -708,7 +1029,16 @@ def inflate_device_v2(
         st_np = meta_np[3 + Kpad : 3 + 2 * Kpad][:K]
         kcnt_np = meta_np[3 + 2 * Kpad : 3 + 3 * Kpad][:K]
     else:
-        if mesh is None:
+        if mesh is None and use_pallas_tok:
+            from .inflate_pallas import pallas_cursor_tokenize
+
+            _tick("plan")
+            tok_pack, tok_bp, cnt, end_pos, status = pallas_cursor_tokenize(
+                buf, starts_a, stops_dec, block_a, plan,
+                stride_bits, 2 * OVERLAP, CAP,
+            )
+            _tick("tokenize_dispatch")
+        elif mesh is None:
             tokf = make_cursor_tokenize(Kpad, CAP)
             tok_pack, tok_bp, cnt, end_pos, status = tokf(
                 w32,
@@ -747,45 +1077,99 @@ def inflate_device_v2(
                 jnp.asarray(cp.luts_lit),
                 jnp.asarray(cp.luts_dist),
             )
+            # gather shards before the splice: auto-partitioning the
+            # splice's gathers over the mesh emits per-iteration
+            # collectives that crawl (and rendezvous-stall) on hosts
+            # with fewer cores than devices
+            tok_pack, tok_bp, cnt, end_pos, status = (
+                jnp.asarray(np.asarray(x))
+                for x in (tok_pack, tok_bp, cnt, end_pos, status)
+            )
         splice = make_splice_compact(Kpad, CAP)
-        ok, M, comp, kcnt = splice(
+        _tick("pre_splice")
+        ok, M, comp, kcnt, diag = splice(
             tok_pack, tok_bp, cnt, end_pos, status,
             jnp.asarray(stops_a), jnp.asarray(bstart_a),
             jnp.asarray(first_a), jnp.asarray(last_a),
             jnp.asarray(expect_eob_a), jnp.asarray(active_a),
         )
-        if int(ok) != 1:
-            return None
-        M = int(M)
+        ok = int(ok)
+        _tick("splice_pull")
         end_np = np.asarray(end_pos)[:K]
         st_np = np.asarray(status)[:K]
+        # TPUZLIB_FORCE_REPAIR=1 exercises the repair path on healthy
+        # streams (tests): it must reproduce the fast path's output
+        if ok != 1 or _os.environ.get("TPUZLIB_FORCE_REPAIR") == "1":
+            repair = _repair_splice(
+                buf, avail_bits, Kpad, CAP, K, plan,
+                np.asarray(block_a), stops_a, first_a, last_a, bstart_a,
+                active_a, stored_a, expect_eob_a,
+                np.asarray(cnt), np.asarray(status), np.asarray(end_pos),
+                tuple(np.asarray(d) for d in diag),
+                tok_bp,
+            )
+            if repair is None:
+                if _os.environ.get("TPUZLIB_DEBUG_INFLATE"):
+                    _debug_splice_fail(
+                        np.asarray(tok_bp).reshape(Kpad, CAP),
+                        np.asarray(cnt), np.asarray(status), stops_a,
+                        first_a, last_a, bstart_a, expect_eob_a,
+                        active_a, K,
+                    )
+                return None
+            keep_lo_r, keep_hi_r, bridge_ins, rep_block_ends = repair
+            from ..utils import trace as _trace
+
+            _trace.count("inflate.splice_repair", 1)
+            _tick("repair_walk")
+            compact = make_compact_bounds(Kpad, CAP)
+            M, comp, kcnt = compact(
+                tok_pack, jnp.asarray(keep_lo_r), jnp.asarray(keep_hi_r)
+            )
+        M = int(M)
         kcnt_np = np.asarray(kcnt)[:K]
+        _tick("compact")
 
     # host validation of block chaining: between block b's EOB and block
     # b+1's header there may be sync markers AND non-empty stored runs
     # (the latter invisible to discovery — their bytes splice in below)
     blk_np = np.asarray(cp.block_of[:K])
-    # effective block end: the FIRST cursor that hit EOB (early in-block
-    # EOB means a stored run follows), else the planned block-last cursor
-    block_last_idx = []
-    for b in range(len(plan)):
-        idxs = np.flatnonzero(blk_np == b)
-        hits = idxs[st_np[idxs] == ST_EOB]
-        block_last_idx.append(int(hits[0]) if len(hits) else int(idxs[-1]))
+    if use_fused or repair is None:
+        # effective block end: the FIRST cursor that hit EOB (early in
+        # -block EOB means a stored run follows), else the planned last
+        block_last_idx = []
+        for b in range(len(plan)):
+            idxs = np.flatnonzero(blk_np == b)
+            hits = idxs[st_np[idxs] == ST_EOB]
+            block_last_idx.append(
+                int(hits[0]) if len(hits) else int(idxs[-1])
+            )
+        block_end_bits = [int(end_np[k]) for k in block_last_idx]
+        bridge_ins = {}
+    else:
+        block_end_bits = rep_block_ends
     tail_tokens = None
     insertions: dict[int, list] = {}
-    for bi, k in enumerate(block_last_idx):
-        block_end = int(end_np[k])
-        is_final_planned = bi == len(block_last_idx) - 1
-        _, _, _, _, bfinal, open_end, _ = plan[bi]
+    _dbg = _os.environ.get("TPUZLIB_DEBUG_INFLATE")
+    for bi in range(len(plan)):
+        block_end = block_end_bits[bi]
+        is_final_planned = bi == len(plan) - 1
+        _, _, _, _, bfinal, open_end, _ = plan[bi][:7]
         if not is_final_planned:
             walk = _walk_gap(
                 buf, block_end, avail_bits, stop_at=plan[bi + 1][0]
             )
             if walk is None:
+                if _dbg:
+                    print(f"[debug] walk-gap None: block {bi} end_bit "
+                          f"{block_end} next_hdr {plan[bi + 1][0]}")
                 return None
             nxt_bit, final, ranges = walk
             if final or nxt_bit != plan[bi + 1][0]:
+                if _dbg:
+                    print(f"[debug] walk-gap mismatch: block {bi} end "
+                          f"{block_end} -> {nxt_bit} final={final} expect "
+                          f"{plan[bi + 1][0]}")
                 return None
             if ranges:
                 insertions[bi] = ranges
@@ -809,12 +1193,40 @@ def inflate_device_v2(
                 if walk[2]:
                     insertions[bi] = walk[2]
 
-    if not device_expand or tail_tokens is not None or insertions:
-        comph = np.asarray(comp)[:M]
+    if (
+        not device_expand
+        or tail_tokens is not None
+        or insertions
+        or repair is not None
+    ):
+        comph = np.asarray(comp[:M])
+        _tick("comp_pull")
         is_m = (comph >> 25) & 1
         litlen = (comph & 0x1FF).astype(np.int32)
         dist = np.where(is_m == 1, (comph >> 9) & 0xFFFF, 0).astype(np.int32)
-        if insertions:
+        if repair is not None:
+            # sequential per-cursor assembly: kept slices + host-decoded
+            # bridge tokens at cursor boundaries + stored literal runs at
+            # block boundaries
+            cum = np.concatenate(
+                [[0], np.cumsum(kcnt_np.astype(np.int64))]
+            )
+            lparts, dparts = [], []
+            for b in range(len(plan)):
+                idxs = np.flatnonzero((blk_np == b) & active_a[:K])
+                for k in idxs:
+                    lparts.append(litlen[cum[k] : cum[k + 1]])
+                    dparts.append(dist[cum[k] : cum[k + 1]])
+                    if int(k) in bridge_ins:
+                        bl, bd = bridge_ins[int(k)]
+                        lparts.append(bl)
+                        dparts.append(bd)
+                for (bs, ln) in insertions.get(b, ()):
+                    lparts.append(buf[bs : bs + ln].astype(np.int32))
+                    dparts.append(np.zeros(ln, np.int32))
+            litlen = np.concatenate(lparts) if lparts else litlen[:0]
+            dist = np.concatenate(dparts) if dparts else dist[:0]
+        elif insertions:
             # token count per planned block -> insertion offsets
             kc = np.asarray(kcnt_np).astype(np.int64)
             blk = np.asarray(cp.block_of, np.int64)
@@ -838,7 +1250,12 @@ def inflate_device_v2(
             dist = np.concatenate([dist, tail_tokens[1]])
         from ..codec.expand import expand_host
 
-        return expand_host(litlen, dist, window)
+        _tick("token_splice")
+        r = expand_host(litlen, dist, window)
+        _tick("host_expand")
+        if _tlog:
+            print("[time]", _tlog, flush=True)
+        return r
 
     if use_fused:
         return np.asarray(out)[:total]

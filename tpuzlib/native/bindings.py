@@ -92,6 +92,11 @@ def get_lib():
         lib.tz_expand_tokens.argtypes = [
             c_p32, c_p32, c_i64, c_p8, c_i64, c_i64,
         ]
+        lib.tz_find_headers.restype = c_i64
+        lib.tz_find_headers.argtypes = [
+            c_p8, c_i64, c_i64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64), c_i64,
+        ]
         lib.tz_adler32.restype = ctypes.c_uint32
         lib.tz_adler32.argtypes = [c_p8, c_i64, ctypes.c_uint32]
         lib.tz_crc32.restype = ctypes.c_uint32

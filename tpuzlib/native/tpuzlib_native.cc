@@ -908,6 +908,57 @@ int64_t tz_inflate_tokenize(const uint8_t* src, int64_t src_len,
   }
 }
 
+// Full-stream dynamic-block header scan (speculative parallel-inflate
+// pass 1; python counterpart: parallel/speculative.find_all_block_starts).
+// For every bit position: cheap field checks (BTYPE==10, HLIT/HDIST in
+// range, optional BFINAL==0), the code-length-code Kraft-completeness
+// test (rapidgzip-style reject), then CONFIRMATION by a bounded decode
+// through tz_inflate_tokenize (a real header parses and yields >=8
+// symbols or overflows a 64-token cap).  Returns the number of
+// confirmed header bit positions written to out_pos.
+int64_t tz_find_headers(const uint8_t* src, int64_t src_len,
+                        int64_t from_bit, int32_t allow_final,
+                        int64_t* out_pos, int64_t cap) {
+  const int64_t nbits = src_len * 8;
+  int64_t found = 0;
+  // bound keeps both 8-byte memcpy windows in range (a real dynamic
+  // header + EOB needs >100 bits, so nothing is missed at the tail)
+  for (int64_t bit = from_bit; bit + 81 <= nbits; bit++) {
+    const int64_t byte = bit >> 3;
+    const int s = (int)(bit & 7);
+    uint64_t w0;
+    memcpy(&w0, src + byte, 8);
+    const uint32_t w = (uint32_t)(w0 >> s);
+    if (((w >> 1) & 3) != 2) continue;
+    if (!allow_final && (w & 1)) continue;
+    const uint32_t hlit = (w >> 3) & 31;
+    const uint32_t hdist = (w >> 8) & 31;
+    if (hlit > 29 || hdist > 29) continue;
+    const int hclen = (int)((w >> 13) & 15) + 4;
+    // 19 CLC entries start at bit+17 and span <=57 bits: one u64 window
+    const int64_t cb = bit + 17;
+    uint64_t k0;
+    memcpy(&k0, src + (cb >> 3), 8);
+    const uint64_t k = k0 >> (cb & 7);
+    int kraft = 0, nz = 0;
+    for (int j = 0; j < hclen; j++) {
+      const int lj = (int)((k >> (3 * j)) & 7);
+      if (lj) { kraft += 1 << (7 - lj); nz++; }
+    }
+    if (kraft != 128 || nz < 2) continue;
+    int32_t ll[64], dd[64];
+    int64_t eb;
+    int32_t fin, st;
+    int64_t n = tz_inflate_tokenize(src, src_len, bit, bit + 1, ll, dd, 64,
+                                    &eb, &fin, &st);
+    if (st == 3 || (st == 0 && n >= 8)) {
+      out_pos[found++] = bit;
+      if (found >= cap) return found;
+    }
+  }
+  return found;
+}
+
 // Token-tape expansion: the serial host counterpart of the device
 // pointer-doubling expansion (codec/expand.py).  dst[0..dict_len) holds
 // window context; returns output length (excluding context) or -1 on

@@ -116,35 +116,140 @@ def _kraft_prefilter(w64, start_bit: int, nbits: int,
     0, BTYPE must be 10, HLIT/HDIST/HCLEN in range, and the code-length
     code's Kraft sum must be exactly 2^7 (a complete CLC tree — the
     rapidgzip-style cheap reject).  Returns relative offsets of
-    survivors."""
-    pos = np.arange(start_bit, start_bit + nbits, dtype=np.int64)
-    wA = w64[np.minimum(pos >> 3, len(w64) - 1)] >> (pos & 7).astype(np.uint64)
-    posB = pos + 40
-    wB = w64[np.minimum(posB >> 3, len(w64) - 1)] >> (posB & 7).astype(np.uint64)
+    survivors.
 
-    bfinal = (wA & np.uint64(1)).astype(np.int64)
-    btype = ((wA >> np.uint64(1)) & np.uint64(3)).astype(np.int64)
-    hlit = ((wA >> np.uint64(3)) & np.uint64(31)).astype(np.int64)
-    hdist = ((wA >> np.uint64(8)) & np.uint64(31)).astype(np.int64)
-    hclen = ((wA >> np.uint64(13)) & np.uint64(15)).astype(np.int64) + 4
+    Two-stage (round 4): the cheap field checks kill ~98% of positions,
+    so the 19-term Kraft sum runs on the survivors only; bit windows
+    come from a byte-view broadcast, not a per-position gather."""
+    first_byte = start_bit >> 3
+    last_byte = (start_bit + nbits - 1) >> 3
+    span = last_byte - first_byte + 1
+    wbytes = w64[first_byte : first_byte + span]
+    if len(wbytes) < span:  # buffer tail: zero-pad the window views
+        wbytes = np.concatenate(
+            [wbytes, np.zeros(span - len(wbytes), np.uint64)]
+        )
+    shifts = np.arange(8, dtype=np.uint64)
+    # wA_all[b, s] = 64-bit window at bit (first_byte+b)*8 + s
+    wA_all = (wbytes[:, None] >> shifts[None, :]).reshape(-1)
+    lo = start_bit - first_byte * 8
+    wA = wA_all[lo : lo + nbits]
+
+    btype = ((wA >> np.uint64(1)) & np.uint64(3)).astype(np.int32)
+    hlit = ((wA >> np.uint64(3)) & np.uint64(31)).astype(np.int32)
+    hdist = ((wA >> np.uint64(8)) & np.uint64(31)).astype(np.int32)
     ok = (btype == 2) & (hlit <= 29) & (hdist <= 29)
     if not allow_final:
-        ok &= bfinal == 0
+        ok &= (wA & np.uint64(1)) == 0
+    cand = np.flatnonzero(ok)
+    if len(cand) == 0:
+        return cand
 
-    kraft = np.zeros(len(pos), dtype=np.int64)
-    nzero = np.zeros(len(pos), dtype=np.int64)
+    wAc = wA[cand]
+    posB = cand + np.int64(start_bit) + 40
+    wBc = w64[np.minimum(posB >> 3, len(w64) - 1)] >> (posB & 7).astype(
+        np.uint64
+    )
+    hclen = ((wAc >> np.uint64(13)) & np.uint64(15)).astype(np.int64) + 4
+    kraft = np.zeros(len(cand), dtype=np.int64)
+    nzero = np.zeros(len(cand), dtype=np.int64)
     for j in range(19):
         o = 17 + 3 * j
         if o + 3 <= 57:
-            lj = ((wA >> np.uint64(o)) & np.uint64(7)).astype(np.int64)
+            lj = ((wAc >> np.uint64(o)) & np.uint64(7)).astype(np.int64)
         else:
-            lj = ((wB >> np.uint64(o - 40)) & np.uint64(7)).astype(np.int64)
-        active = j < hclen
-        used = active & (lj > 0)
+            lj = ((wBc >> np.uint64(o - 40)) & np.uint64(7)).astype(np.int64)
+        used = (j < hclen) & (lj > 0)
         kraft += np.where(used, 1 << (7 - np.minimum(lj, 7)), 0)
         nzero += used
-    ok &= (kraft == 128) & (nzero >= 2)
-    return np.flatnonzero(ok)
+    return cand[(kraft == 128) & (nzero >= 2)]
+
+
+def _native_probe(buf: np.ndarray, bit_pos: int) -> bool | None:
+    """Probe+confirm a candidate header with ONE bounded native call
+    (~us, vs ~0.5 ms for the python parse + LUT build): ask the native
+    tokenizer to decode from the claimed header with a tiny token cap —
+    cap-overflow (status 3) or clean completion means a real header
+    decoded ≥tens of symbols.  Returns None when the native lib is
+    unavailable (caller falls back to the python probe)."""
+    import ctypes
+
+    try:
+        from ..native.bindings import get_lib, native_available
+
+        if not native_available():
+            return None
+        lib = get_lib()
+    except Exception:  # pragma: no cover
+        return None
+    from ..native.api import _p32, _p8
+
+    cap = 64
+    litlen = np.empty(cap, np.int32)
+    dist = np.empty(cap, np.int32)
+    end_bit = ctypes.c_int64(0)
+    finished = ctypes.c_int32(0)
+    status = ctypes.c_int32(0)
+    ntok = lib.tz_inflate_tokenize(
+        _p8(buf), np.int64(len(buf)), np.int64(bit_pos),
+        np.int64(bit_pos + 1), _p32(litlen), _p32(dist), np.int64(cap),
+        ctypes.byref(end_bit), ctypes.byref(finished), ctypes.byref(status),
+    )
+    if status.value == 3:
+        return True  # cap overflow: header + >=64 symbols decoded
+    return status.value == 0 and ntok >= 8
+
+
+def find_all_block_starts(buf: np.ndarray, from_bit: int = 0,
+                          allow_final: bool = True) -> list:
+    """One full-stream header scan: native branchy bit scan with Kraft
+    prefilter + bounded-decode confirmation (tz_find_headers), falling
+    back to the vectorized numpy prefilter + per-candidate probes.
+
+    Replaces the per-block find_block_start loop in block planning —
+    that repeated scan plus python probes measured 31 s for a 3.4 MB
+    stream (the real bottleneck of round-3's 0.24 MB/s device inflate);
+    the native pass runs in ~0.2 s and the planner just consumes it."""
+    import ctypes
+
+    try:
+        from ..native.bindings import get_lib, native_available
+
+        if native_available():
+            lib = get_lib()
+            cap = 4096
+            while True:
+                pos = np.empty(cap, np.int64)
+                n = lib.tz_find_headers(
+                    buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    np.int64(len(buf)), np.int64(from_bit),
+                    np.int32(1 if allow_final else 0),
+                    pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    np.int64(cap),
+                )
+                if n < cap:
+                    return pos[:n].tolist()
+                cap *= 8
+    except Exception:  # pragma: no cover - fall through to numpy path
+        pass
+
+    avail_bits = len(buf) * 8
+    w64 = tk.byte_windows64(buf)
+    out = []
+    CHUNK = 1 << 23  # bits
+    bit = from_bit
+    while bit < avail_bits:
+        nbits = min(CHUNK, avail_bits - bit)
+        for rel in _kraft_prefilter(w64, bit, nbits, allow_final=allow_final):
+            p = bit + int(rel)
+            got = _native_probe(buf, p)
+            if got is None:
+                pr = _probe_header(buf, p, avail_bits, allow_final=allow_final)
+                got = pr is not None and _confirm(w64, pr[1], avail_bits, pr[0])
+            if got:
+                out.append(p)
+        bit += nbits
+    return out
 
 
 def find_block_start(buf: np.ndarray, from_byte: int, window_bytes: int = 1 << 15,
