@@ -22,65 +22,88 @@ def mixed_data(rng=None):
     return b"".join(parts)
 
 
-def test_device_deflate_static_roundtrip(mixed_data):
-    from tpuzlib.kernels.deflate_device import deflate_device_raw
+def test_device_static_pack_roundtrip(mixed_data):
+    """Static-tree packing (pack_static_block, the sharded pipeline's
+    dynamic=False path) round-trips as a valid fixed-Huffman block."""
+    import jax
+    import jax.numpy as jnp
 
-    raw = deflate_device_raw(
-        np.frombuffer(mixed_data, np.uint8), level=4, chunk=1 << 16, dynamic=False
+    from tpuzlib.codec.bitsink import BitSink
+    from tpuzlib.kernels import deflate_device as dd
+
+    n = 1 << 15
+    payload = mixed_data[:n]
+    data = np.zeros(dd.CTX + n, np.uint8)
+    data[dd.CTX :] = np.frombuffer(payload, np.uint8)
+
+    @jax.jit
+    def enc(buf):
+        is_token, litlen, dist = dd.match_and_parse(
+            jax, jnp, buf, np.int32(0), np.int32(n), 4
+        )
+        return dd.pack_static_block(jax, jnp, is_token, litlen, dist,
+                                    np.int32(1))
+
+    words, bits = enc(jnp.asarray(data))
+    w, b = np.asarray(words), int(bits)
+    sink = BitSink()
+    if b >> 5:
+        sink.push(w[: b >> 5].astype(np.uint64), np.full(b >> 5, 32, np.int64))
+    if b & 31:
+        sink.push_scalar(int(w[b >> 5]) & ((1 << (b & 31)) - 1), b & 31)
+    raw, _, _ = sink.flush(final=True)
+    assert zlib.decompress(bytes(raw), -15) == payload
+
+
+def test_device_deflate_v3_roundtrip_small_chunks(mixed_data):
+    from tpuzlib.kernels.deflate_device3 import deflate_device_v3
+
+    raw = deflate_device_v3(
+        np.frombuffer(mixed_data, np.uint8), level=4, chunk=1 << 16, batch=2
     )
     assert zlib.decompress(bytes(raw), -15) == mixed_data
-
-
-def test_device_deflate_dynamic_roundtrip_and_size(mixed_data):
-    from tpuzlib.kernels.deflate_device import deflate_device_raw
-
-    raw = deflate_device_raw(
-        np.frombuffer(mixed_data, np.uint8), level=4, chunk=1 << 16, dynamic=True
-    )
-    assert zlib.decompress(bytes(raw), -15) == mixed_data
-    # dynamic trees must beat static on this data
-    raw_static = deflate_device_raw(
-        np.frombuffer(mixed_data, np.uint8), level=4, chunk=1 << 16, dynamic=False
-    )
-    assert len(raw) < len(raw_static)
 
 
 def test_device_inflate_roundtrip(mixed_data):
-    from tpuzlib.kernels.inflate_device import inflate_device_raw
+    from tpuzlib.kernels.inflate_device2 import inflate_device_v2
 
     wire = zlib.compress(mixed_data, 6)[2:-4]
-    out = inflate_device_raw(np.frombuffer(wire, np.uint8))
-    assert bytes(out) == mixed_data
+    out = inflate_device_v2(np.frombuffer(wire, np.uint8))
+    assert out is not None and bytes(out) == mixed_data
 
 
-def test_device_inflate_overflow_retry():
-    """Ultra-compressible data exceeds the per-segment output cap and
-    must fall back to the smaller probe."""
-    from tpuzlib.kernels.inflate_device import inflate_device_raw
+def test_device_inflate_ultracompressible_fallback():
+    """Ultra-compressible data (~2 bits/token) overflows the per-cursor
+    token tape; the device path must signal fallback (None) — never
+    corrupt — and the public API must still decode via the host engine
+    (the documented token-cap-overflow contract)."""
+    import tpuzlib
+    from tpuzlib.kernels.inflate_device2 import inflate_device_v2
 
     data = b"\x00" * 3_000_000
-    wire = zlib.compress(data, 9)[2:-4]
-    out = inflate_device_raw(np.frombuffer(wire, np.uint8))
-    assert bytes(out) == data
+    wire = zlib.compress(data, 9)
+    out = inflate_device_v2(np.frombuffer(wire[2:-4], np.uint8))
+    assert out is None or bytes(out) == data
+    assert bytes(tpuzlib.inflate(wire)) == data
 
 
 def test_device_inflate_decodes_device_deflate(mixed_data):
-    from tpuzlib.kernels.deflate_device import deflate_device_raw
-    from tpuzlib.kernels.inflate_device import inflate_device_raw
+    from tpuzlib.kernels.deflate_device3 import deflate_device_v3
+    from tpuzlib.kernels.inflate_device2 import inflate_device_v2
 
-    raw = deflate_device_raw(np.frombuffer(mixed_data, np.uint8), level=6,
-                             chunk=1 << 16)
-    out = inflate_device_raw(np.frombuffer(bytes(raw), np.uint8))
-    assert bytes(out) == mixed_data
+    raw = deflate_device_v3(np.frombuffer(mixed_data, np.uint8), level=6,
+                            chunk=1 << 16, batch=2)
+    out = inflate_device_v2(np.frombuffer(bytes(raw), np.uint8))
+    assert out is not None and bytes(out) == mixed_data
 
 
 def test_device_dictionary_context():
     """Chunk halos: matches must reach across chunk boundaries."""
-    from tpuzlib.kernels.deflate_device import deflate_device_raw
+    from tpuzlib.kernels.deflate_device3 import deflate_device_v3
 
     data = TEXT[:100000]
-    raw_chunked = deflate_device_raw(np.frombuffer(data, np.uint8), level=6,
-                                     chunk=1 << 15)
+    raw_chunked = deflate_device_v3(np.frombuffer(data, np.uint8), level=6,
+                                    chunk=1 << 15, batch=2)
     assert zlib.decompress(bytes(raw_chunked), -15) == data
 
 
@@ -134,31 +157,20 @@ def test_graft_entry():
 
 
 def test_fully_jit_dynamic_encoder():
-    """make_encode_chunk_dynamic: trees + header + body entirely on
-    device; output must be a valid dynamic DEFLATE block and no larger
-    than zlib at the same level."""
-    import jax.numpy as jnp
+    """v3 batched encoder: trees + header + body entirely on device;
+    output must be a valid dynamic DEFLATE stream for text, random and
+    constant payloads (stored fallback allowed via ok flag)."""
+    from tpuzlib.kernels.deflate_device3 import deflate_device_v3
 
-    from tpuzlib.codec.bitsink import BitSink
-    from tpuzlib.kernels.deflate_device import make_encode_chunk_dynamic
-
-    ctx, n = 1 << 12, 1 << 15
-    enc = make_encode_chunk_dynamic(6, n, ctx=ctx)
+    n = 1 << 15
     for payload in (
         TEXT[:n],
         np.random.default_rng(5).integers(0, 256, n, np.uint8).tobytes(),
         b"\x00" * n,
     ):
-        data = np.zeros(ctx + n, np.uint8)
-        data[ctx:] = np.frombuffer(payload, np.uint8)
-        words, bits = enc(jnp.asarray(data), np.int32(0), np.int32(n), np.int32(1))
-        w, b = np.asarray(words), int(bits)
-        sink = BitSink()
-        if b >> 5:
-            sink.push(w[: b >> 5].astype(np.uint64), np.full(b >> 5, 32, np.int64))
-        if b & 31:
-            sink.push_scalar(int(w[b >> 5]) & ((1 << (b & 31)) - 1), b & 31)
-        raw, _, _ = sink.flush(final=True)
+        raw = deflate_device_v3(
+            np.frombuffer(payload, np.uint8), level=6, chunk=n, batch=1
+        )
         assert zlib.decompress(bytes(raw), -15) == payload
 
 
@@ -186,13 +198,13 @@ def test_device_package_merge_matches_host(rng):
 
 
 def test_device_fully_jit_stream(mixed_data):
-    """dynamic="device": multi-chunk stream from the zero-host-sync
-    encoder must decode externally."""
-    from tpuzlib.kernels.deflate_device import deflate_device_raw
+    """Multi-chunk stream from the zero-host-sync v3 encoder must decode
+    externally."""
+    from tpuzlib.kernels.deflate_device3 import deflate_device_v3
 
-    raw = deflate_device_raw(
+    raw = deflate_device_v3(
         np.frombuffer(mixed_data[:100000], np.uint8), level=4, chunk=1 << 15,
-        dynamic="device",
+        batch=2,
     )
     assert zlib.decompress(bytes(raw), -15) == mixed_data[:100000]
 

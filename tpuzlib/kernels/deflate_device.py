@@ -752,24 +752,6 @@ def histograms_v2(jax, jnp, is_token, litlen, dist):
     return lit_freq, dist_freq
 
 
-def make_encode_chunk(level: int, n: int):
-    """Build the jitted chunk encoder for fixed new-bytes size n.
-
-    encode(data[CTX+n] u8, ctx_valid i32, n_valid i32, last i32)
-      -> (words u32[n+4], total_bits i32)
-    """
-    jax, jnp = _jnp()
-
-    @jax.jit
-    def encode(data, ctx_valid, n_valid, last):
-        is_token, litlen, dist = match_and_parse(
-            jax, jnp, data, ctx_valid, n_valid, level
-        )
-        return pack_static_block(jax, jnp, is_token, litlen, dist, last)
-
-    return encode
-
-
 def _bit_concat(jnp, segments, out_words: int):
     """Concatenate (words u32[], nbits scalar) segments at the bit level
     on device.  Segment word arrays have static length; nbits is traced."""
@@ -792,386 +774,6 @@ def _bit_concat(jnp, segments, out_words: int):
     return out, pos
 
 
-def make_encode_chunk_dynamic(level: int, n: int, ctx: int = CTX):
-    """Fully-jittable dynamic-Huffman chunk encoder: match search, parse,
-    histograms, package-merge trees, canonical codes, header and body bit
-    packing all inside ONE jit program — zero host synchronization.
-
-    encode(data[CTX+n] u8, ctx_valid, n_valid, last)
-      -> (words u32[...], total_bits i32)
-    """
-    jax, jnp = _jnp()
-    from .huffman_device import (
-        canonical_codes_device,
-        dynamic_header_device,
-        package_merge_device,
-    )
-
-    _, _, _, _, len2code_np, dist2code_np = _static_tables()
-
-    @jax.jit
-    def encode(data, ctx_valid, n_valid, last):
-        is_token, litlen, dist = match_and_parse(
-            jax, jnp, data, ctx_valid, n_valid, level, ctx=ctx
-        )
-        len2code = jnp.asarray(len2code_np)
-        dist2code = jnp.asarray(dist2code_np)
-        is_match = dist > 0
-        lsym = jnp.where(is_match, len2code[jnp.clip(litlen - 3, 0, 255)], litlen)
-        dsym = dist2code[jnp.clip(dist - 1, 0, WINDOW_SIZE - 1)]
-        w = is_token.astype(jnp.int32)
-        lit_freq = jnp.zeros(286, jnp.int32).at[jnp.clip(lsym, 0, 285)].add(w)
-        lit_freq = lit_freq.at[256].add(1)  # EOB
-        dist_freq = jnp.zeros(30, jnp.int32).at[dsym].add(
-            (is_token & is_match).astype(jnp.int32)
-        )
-        ll = package_merge_device(jax, jnp, lit_freq, 15)
-        dl = package_merge_device(jax, jnp, dist_freq, 15)
-        lcodes = canonical_codes_device(jax, jnp, ll)
-        dcodes = canonical_codes_device(jax, jnp, dl)
-        hdr_words, hdr_bits = dynamic_header_device(jax, jnp, ll, dl)
-        body_words, body_bits = pack_block_tables(
-            jax, jnp, is_token, litlen, dist,
-            (jnp.concatenate([ll, jnp.zeros(2, jnp.int32)]),
-             jnp.concatenate([lcodes, jnp.zeros(2, jnp.uint32)]),
-             dl, dcodes),
-        )
-        # 3-bit header, LSB-first: BFINAL at bit 0, BTYPE=10 at bits 1-2
-        head3 = jnp.array([4], jnp.uint32) | last.astype(jnp.uint32)
-        out_words = body_words.shape[0] + hdr_words.shape[0] + 4
-        return _bit_concat(
-            jnp,
-            [
-                (head3, jnp.int32(3)),
-                (hdr_words, hdr_bits),
-                (body_words, body_bits),
-            ],
-            out_words,
-        )
-
-    return encode
-
-
-def make_encode_chunk_dynamic_v2(level: int, n: int, ctx: int = CTX):
-    """v2 fully-jittable dynamic-Huffman chunk encoder (round-2 kernel):
-    gather-light matcher, Pallas segment parse on TPU, arithmetic symbol
-    mapping, device package-merge trees — one jit program, zero host
-    sync.  encode(data[ctx+n] u8, ctx_valid, n_valid, last)
-      -> (words u32[...], total_bits i32)"""
-    jax, jnp = _jnp()
-    from .huffman_device import (
-        canonical_codes_device,
-        dynamic_header_device,
-        package_merge_device,
-    )
-
-    @jax.jit
-    def encode(data, ctx_valid, n_valid, last):
-        is_token, litlen, dist = match_and_parse_v2(
-            jax, jnp, data, ctx_valid, n_valid, level, ctx=ctx
-        )
-        lit_freq, dist_freq = histograms_v2(jax, jnp, is_token, litlen, dist)
-        lit_freq = lit_freq.at[256].add(1)  # EOB
-        ll = package_merge_device(jax, jnp, lit_freq, 15)
-        dl = package_merge_device(jax, jnp, dist_freq, 15)
-        lcodes = canonical_codes_device(jax, jnp, ll)
-        dcodes = canonical_codes_device(jax, jnp, dl)
-        hdr_words, hdr_bits = dynamic_header_device(jax, jnp, ll, dl)
-        body_words, body_bits = pack_block_tables_v2(
-            jax, jnp, is_token, litlen, dist,
-            (jnp.concatenate([ll, jnp.zeros(2, jnp.int32)]),
-             jnp.concatenate([lcodes, jnp.zeros(2, jnp.uint32)]),
-             dl, dcodes),
-        )
-        head3 = jnp.array([4], jnp.uint32) | last.astype(jnp.uint32)
-        out_words = body_words.shape[0] + hdr_words.shape[0] + 4
-        return _bit_concat(
-            jnp,
-            [
-                (head3, jnp.int32(3)),
-                (hdr_words, hdr_bits),
-                (body_words, body_bits),
-            ],
-            out_words,
-        )
-
-    return encode
-
-
-def make_encode_batch_v2(level: int, chunk: int, batch: int, out_words: int):
-    """Batched v2 dynamic encoder: one dispatch encodes `batch` chunks
-    end-to-end on device (trees included), outputs trimmed words."""
-    jax, jnp = _jnp()
-    enc = None
-
-    def one(data, ctx_valid, n_valid, last):
-        from .huffman_device import (
-            canonical_codes_device,
-            dynamic_header_device,
-            package_merge_device,
-        )
-
-        is_token, litlen, dist = match_and_parse_v2(
-            jax, jnp, data, ctx_valid, n_valid, level
-        )
-        lit_freq, dist_freq = histograms_v2(jax, jnp, is_token, litlen, dist)
-        lit_freq = lit_freq.at[256].add(1)
-        ll = package_merge_device(jax, jnp, lit_freq, 15)
-        dl = package_merge_device(jax, jnp, dist_freq, 15)
-        lcodes = canonical_codes_device(jax, jnp, ll)
-        dcodes = canonical_codes_device(jax, jnp, dl)
-        hdr_words, hdr_bits = dynamic_header_device(jax, jnp, ll, dl)
-        body_words, body_bits = pack_block_tables_v2(
-            jax, jnp, is_token, litlen, dist,
-            (jnp.concatenate([ll, jnp.zeros(2, jnp.int32)]),
-             jnp.concatenate([lcodes, jnp.zeros(2, jnp.uint32)]),
-             dl, dcodes),
-        )
-        head3 = jnp.array([4], jnp.uint32) | last.astype(jnp.uint32)
-        words, total_bits = _bit_concat(
-            jnp,
-            [
-                (head3, jnp.int32(3)),
-                (hdr_words, hdr_bits),
-                (body_words, body_bits),
-            ],
-            body_words.shape[0] + hdr_words.shape[0] + 4,
-        )
-        return words[:out_words], total_bits
-
-    return jax.jit(jax.vmap(one))
-
-
-def deflate_device_v2(
-    data: np.ndarray,
-    level: int = 6,
-    chunk: int = 1 << 18,
-    batch: int = 8,
-):
-    """Round-2 device deflate: batched fully-on-device dynamic encoding.
-
-    One dispatch per `batch` chunks; the only host work is the final
-    bit-level join.  Returns raw DEFLATE bytes."""
-    import jax.numpy as jnp
-
-    from ..codec.bitsink import BitSink
-
-    n = len(data)
-    nchunks = max(1, -(-n // chunk))
-    batch = min(batch, nchunks)
-    out_words = min(chunk + 4, (chunk * 10) // 32 + 64)
-    enc = _get(
-        ("encb2", level, chunk, batch, out_words),
-        lambda: make_encode_batch_v2(level, chunk, batch, out_words),
-    )
-
-    sink = BitSink()
-    results = []
-    for g in range(0, nchunks, batch):
-        group = list(range(g, min(g + batch, nchunks)))
-        bufs = np.zeros((batch, CTX + chunk), dtype=np.uint8)
-        ctx_valids = np.zeros(batch, dtype=np.int32)
-        n_valids = np.zeros(batch, dtype=np.int32)
-        lasts = np.zeros(batch, dtype=np.int32)
-        for bi, ci in enumerate(group):
-            lo, hi = ci * chunk, min(ci * chunk + chunk, n)
-            ctx_lo = max(0, lo - CTX)
-            ctxb = data[ctx_lo:lo]
-            if len(ctxb):
-                bufs[bi, CTX - len(ctxb) : CTX] = ctxb
-            bufs[bi, CTX : CTX + hi - lo] = data[lo:hi]
-            ctx_valids[bi] = len(ctxb)
-            n_valids[bi] = hi - lo
-            lasts[bi] = 1 if ci == nchunks - 1 else 0
-        results.append(
-            (
-                group,
-                enc(
-                    jnp.asarray(bufs),
-                    jnp.asarray(ctx_valids),
-                    jnp.asarray(n_valids),
-                    jnp.asarray(lasts),
-                ),
-            )
-        )
-    for group, (words, total_bits) in results:
-        words = np.asarray(words)
-        total_bits = np.asarray(total_bits)
-        for bi, ci in enumerate(group):
-            _push_words(sink, words[bi], int(total_bits[bi]))
-    out, _, _ = sink.flush(final=True)
-    return out
-
-
-def make_tokenize_chunk(level: int, n: int):
-    """Jitted: data -> (is_token, litlen, dist, lit_freq, dist_freq)."""
-    jax, jnp = _jnp()
-    _, _, _, _, len2code_np, dist2code_np = _static_tables()
-
-    @jax.jit
-    def tok(data, ctx_valid, n_valid):
-        is_token, litlen, dist = match_and_parse(
-            jax, jnp, data, ctx_valid, n_valid, level
-        )
-        len2code = jnp.asarray(len2code_np)
-        dist2code = jnp.asarray(dist2code_np)
-        is_match = dist > 0
-        lsym = jnp.where(is_match, len2code[jnp.clip(litlen - 3, 0, 255)], litlen)
-        dsym = dist2code[jnp.clip(dist - 1, 0, WINDOW_SIZE - 1)]
-        w = is_token.astype(jnp.int32)
-        lit_freq = jnp.zeros(286, jnp.int32).at[jnp.clip(lsym, 0, 285)].add(w)
-        dist_freq = jnp.zeros(30, jnp.int32).at[dsym].add(
-            (is_token & is_match).astype(jnp.int32)
-        )
-        return is_token, litlen, dist, lit_freq, dist_freq
-
-    return tok
-
-
-def make_pack_chunk(n: int):
-    """Jitted: masked tape + code tables -> packed body words."""
-    jax, jnp = _jnp()
-
-    @jax.jit
-    def pack(is_token, litlen, dist, ll, lcodes, dl, dcodes):
-        return pack_block_tables(
-            jax, jnp, is_token, litlen, dist, (ll, lcodes, dl, dcodes)
-        )
-
-    return pack
-
-
-def make_tokenize_batch(level: int, chunk: int, batch: int):
-    """Jitted batched tokenizer: one dispatch covers `batch` chunks.
-
-    tok(bufs u8[B, CTX+chunk], ctx_valids i32[B], n_valids i32[B])
-      -> per-chunk masked tapes + histograms (single device round-trip).
-    """
-    jax, jnp = _jnp()
-    _, _, _, _, len2code_np, dist2code_np = _static_tables()
-
-    def one(buf, ctx_valid, n_valid):
-        is_token, litlen, dist = match_and_parse(
-            jax, jnp, buf, ctx_valid, n_valid, level
-        )
-        len2code = jnp.asarray(len2code_np)
-        dist2code = jnp.asarray(dist2code_np)
-        is_match = dist > 0
-        lsym = jnp.where(is_match, len2code[jnp.clip(litlen - 3, 0, 255)], litlen)
-        dsym = dist2code[jnp.clip(dist - 1, 0, WINDOW_SIZE - 1)]
-        w = is_token.astype(jnp.int32)
-        lit_freq = jnp.zeros(286, jnp.int32).at[jnp.clip(lsym, 0, 285)].add(w)
-        dist_freq = jnp.zeros(30, jnp.int32).at[dsym].add(
-            (is_token & is_match).astype(jnp.int32)
-        )
-        return is_token, litlen, dist, lit_freq, dist_freq
-
-    return jax.jit(jax.vmap(one))
-
-
-def make_pack_batch(chunk: int, batch: int, out_words: int):
-    """Jitted batched dynamic-table packer; output trimmed to out_words
-    per chunk so the device->host pull stays near the compressed size."""
-    jax, jnp = _jnp()
-
-    def one(is_token, litlen, dist, ll, lcodes, dl, dcodes):
-        words, total_bits = pack_block_tables(
-            jax, jnp, is_token, litlen, dist, (ll, lcodes, dl, dcodes)
-        )
-        return words[:out_words], total_bits
-
-    return jax.jit(jax.vmap(one))
-
-
-def deflate_device_batched(
-    data: np.ndarray,
-    level: int = 6,
-    chunk: int = 1 << 18,
-    batch: int = 16,
-):
-    """Throughput-oriented dynamic-tree device deflate.
-
-    Processes `batch` chunks per device dispatch: one input upload, one
-    histogram pull, one table upload, one trimmed-words pull per group.
-    Returns raw DEFLATE bytes."""
-    import jax
-    import jax.numpy as jnp
-
-    from ..codec.bitsink import BitSink
-    from ..codec.deflate_blocks import build_dynamic_trees
-    from ..codec import huffman_encode as he_
-
-    n = len(data)
-    nchunks = max(1, -(-n // chunk))
-    tok = _get(("tokb", level, chunk, batch), lambda: make_tokenize_batch(level, chunk, batch))
-    # worst-case bits/chunk ~ 9.2 bits/byte for literal-only blocks
-    out_words = min(chunk + 4, (chunk * 10) // 32 + 8)
-    pack = _get(("packb", chunk, batch, out_words), lambda: make_pack_batch(chunk, batch, out_words))
-
-    sink = BitSink()
-    groups = [
-        list(range(g, min(g + batch, nchunks))) for g in range(0, nchunks, batch)
-    ]
-    for group in groups:
-        bufs = np.zeros((batch, CTX + chunk), dtype=np.uint8)
-        ctx_valids = np.zeros(batch, dtype=np.int32)
-        n_valids = np.zeros(batch, dtype=np.int32)
-        for bi, ci in enumerate(group):
-            lo, hi = ci * chunk, min(ci * chunk + chunk, n)
-            ctx_lo = max(0, lo - CTX)
-            ctx = data[ctx_lo:lo]
-            if len(ctx):
-                bufs[bi, CTX - len(ctx) : CTX] = ctx
-            bufs[bi, CTX : CTX + hi - lo] = data[lo:hi]
-            ctx_valids[bi] = len(ctx)
-            n_valids[bi] = hi - lo
-        is_token, litlen, dist, lit_freq, dist_freq = tok(
-            jnp.asarray(bufs), jnp.asarray(ctx_valids), jnp.asarray(n_valids)
-        )
-        lf = np.asarray(lit_freq).astype(np.int64)
-        df = np.asarray(dist_freq).astype(np.int64)
-        lls = np.zeros((batch, 288), np.int32)
-        lcs = np.zeros((batch, 288), np.uint32)
-        dls = np.zeros((batch, 30), np.int32)
-        dcs = np.zeros((batch, 30), np.uint32)
-        pushers = []
-        for bi, ci in enumerate(group):
-            lfb = lf[bi].copy()
-            lfb[256] += 1
-            ll, dl, push_header = build_dynamic_trees(lfb, df[bi])
-            lls[bi, : len(ll)] = ll
-            lcs[bi, : len(ll)] = he_.canonical_codes_lsb(ll)
-            dls[bi, : len(dl)] = dl
-            dcs[bi, : len(dl)] = he_.canonical_codes_lsb(dl)
-            pushers.append(push_header)
-        words, total_bits = pack(
-            is_token, litlen, dist,
-            jnp.asarray(lls), jnp.asarray(lcs), jnp.asarray(dls), jnp.asarray(dcs),
-        )
-        words = np.asarray(words)
-        total_bits = np.asarray(total_bits)
-        for bi, ci in enumerate(group):
-            sink.push_scalar(1 if ci == nchunks - 1 else 0, 1)
-            sink.push_scalar(2, 2)
-            pushers[bi](sink)
-            _push_words(sink, words[bi], int(total_bits[bi]))
-    out, _, _ = sink.flush(final=True)
-    return out
-
-
-# ---------------------------------------------------------------------------
-# host orchestration
-# ---------------------------------------------------------------------------
-
-_encoder_cache = {}
-
-
-def _get(cache_key, builder):
-    if cache_key not in _encoder_cache:
-        _encoder_cache[cache_key] = builder()
-    return _encoder_cache[cache_key]
-
-
 def _push_words(sink, words, total_bits):
     words = np.asarray(words)
     total_bits = int(total_bits)
@@ -1183,102 +785,3 @@ def _push_words(sink, words, total_bits):
         sink.push_scalar(int(words[nfull]) & ((1 << rem) - 1), rem)
 
 
-def _chunk_buffers(data, chunk):
-    n = len(data)
-    nchunks = max(1, -(-n // chunk))
-    for ci in range(nchunks):
-        lo = ci * chunk
-        hi = min(lo + chunk, n)
-        ctx_lo = max(0, lo - CTX)
-        ctx = data[ctx_lo:lo]
-        buf = np.zeros(CTX + chunk, dtype=np.uint8)
-        if len(ctx):
-            buf[CTX - len(ctx) : CTX] = ctx
-        buf[CTX : CTX + hi - lo] = data[lo:hi]
-        yield ci, ci == nchunks - 1, buf, len(ctx), hi - lo
-
-
-def deflate_device_raw(
-    data: np.ndarray, level: int = 6, chunk: int = 1 << 18, dynamic=True
-):
-    """Compress to raw DEFLATE with the device pipeline.
-
-    dynamic=True: device tokenizes + histograms, host builds optimal
-    trees (tiny), device packs with those tables — one dynamic block per
-    chunk.  dynamic="device": the fully-jittable path — trees, header and
-    body are all computed inside one jit program per chunk (zero host
-    sync).  dynamic=False: fully-jitted static-tree encode.  The match
-    window flows across chunks via the CTX halo.  Returns raw DEFLATE
-    bytes."""
-    import jax.numpy as jnp
-
-    from ..codec.bitsink import BitSink
-    from ..codec.deflate_blocks import build_dynamic_trees
-    from ..codec import huffman_encode as he_
-
-    sink = BitSink()
-    if dynamic == "device":
-        encode = _get(
-            ("dyndev", level, chunk), lambda: make_encode_chunk_dynamic(level, chunk)
-        )
-        results = []
-        for ci, is_last, buf, ctx_valid, n_valid in _chunk_buffers(data, chunk):
-            results.append(
-                encode(
-                    jnp.asarray(buf), np.int32(ctx_valid), np.int32(n_valid),
-                    np.int32(1 if is_last else 0),
-                )
-            )
-        for words, total_bits in results:
-            _push_words(sink, words, total_bits)
-        out, _, _ = sink.flush(final=True)
-        return out
-    if not dynamic:
-        encode = _get(("static", level, chunk), lambda: make_encode_chunk(level, chunk))
-        # dispatch everything asynchronously, pull at the end (hides the
-        # host<->device round-trip latency behind device compute)
-        results = []
-        for ci, is_last, buf, ctx_valid, n_valid in _chunk_buffers(data, chunk):
-            results.append(
-                encode(
-                    jnp.asarray(buf), np.int32(ctx_valid), np.int32(n_valid),
-                    np.int32(1 if is_last else 0),
-                )
-            )
-        for words, total_bits in results:
-            _push_words(sink, words, total_bits)
-        out, _, _ = sink.flush(final=True)
-        return out
-
-    tok = _get(("tok", level, chunk), lambda: make_tokenize_chunk(level, chunk))
-    pack = _get(("pack", chunk), lambda: make_pack_chunk(chunk))
-
-    # phase 1: async-dispatch all tokenize calls
-    toks = []
-    flags = []
-    for ci, is_last, buf, ctx_valid, n_valid in _chunk_buffers(data, chunk):
-        toks.append(tok(jnp.asarray(buf), np.int32(ctx_valid), np.int32(n_valid)))
-        flags.append(is_last)
-    # phase 2+3: pull histograms, build trees (host), dispatch packs
-    packed = []
-    for (is_token, litlen, dist, lit_freq, dist_freq), is_last in zip(toks, flags):
-        lf = np.asarray(lit_freq).astype(np.int64)
-        lf[256] += 1  # EOB
-        df = np.asarray(dist_freq).astype(np.int64)
-        ll, dl, push_header = build_dynamic_trees(lf, df)
-        lcodes = he_.canonical_codes_lsb(ll).astype(np.uint32)
-        dcodes = he_.canonical_codes_lsb(dl).astype(np.uint32)
-        wt = pack(
-            is_token, litlen, dist,
-            jnp.asarray(ll.astype(np.int32)), jnp.asarray(lcodes),
-            jnp.asarray(dl.astype(np.int32)), jnp.asarray(dcodes),
-        )
-        packed.append((wt, push_header, is_last))
-    # phase 4: assemble in order
-    for (words, total_bits), push_header, is_last in packed:
-        sink.push_scalar(1 if is_last else 0, 1)
-        sink.push_scalar(2, 2)  # BTYPE=10
-        push_header(sink)
-        _push_words(sink, words, total_bits)
-    out, _, _ = sink.flush(final=True)
-    return out
