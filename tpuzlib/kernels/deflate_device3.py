@@ -188,20 +188,19 @@ def match_lengths_v3(jax, jnp, data, lim16, limit, mincand, chid, level):
     base = jnp.where(sc >= 16, 16, sc).astype(jnp.int32)
     base = base.at[epos_c].max(jnp.where(evalid, elen, 0))
 
-    # segmented suffix scan: ml[i] = base[i] + link[i] * ml[i+16]
-    rows16 = total // 16
-    v = base.reshape(rows16, 16)
-    g = link.astype(jnp.int32).reshape(rows16, 16)
-
-    def comb(a, b):
-        # reverse=True passes a = the later/aggregate operand, b = the
-        # earlier element; suffix recurrence ml[i] = v[i] + g[i]*ml[i+16]
-        va, ga = a
-        vb, gb = b
-        return vb + gb * va, ga * gb
-
-    ml, _ = jax.lax.associative_scan(comb, (v, g), reverse=True, axis=0)
-    length = jnp.minimum(ml.reshape(total), jnp.minimum(limit, MAX_MATCH))
+    # segmented suffix recurrence: ml[i] = base[i] + link[i] * ml[i+16].
+    # The result is clipped to MAX_MATCH=258 and every linked step
+    # contributes base >= 16, so 17 unrolled shift-steps saturate any
+    # longer chain exactly (16 + 16*17 = 288 > 258) — replacing the
+    # round-3 associative_scan over (total/16, 16), whose log-depth
+    # strided slicing on a 16-lane minor dim was a measured multi-ms
+    # cost at the bench shape.
+    gi = link.astype(jnp.int32)
+    ml = base
+    for _ in range(17):
+        ml16 = jnp.concatenate([ml[16:], jnp.zeros(16, jnp.int32)])
+        ml = jnp.minimum(base + gi * ml16, MAX_MATCH)
+    length = jnp.minimum(ml, jnp.minimum(limit, MAX_MATCH))
     length = jnp.where((d > 0) & (length >= MIN_MATCH), length, 0)
     length = jnp.where((length == MIN_MATCH) & (d > TOO_FAR), 0, length)
     return length, d
