@@ -112,6 +112,16 @@ def test_splice_repair_forced_matches_fast_path(paradiselost, monkeypatch):
     zc = bytes(tpuzlib.deflate(mixed, level=6))
     rep = inflate_device_v2(_raw(zc[2:-4]), size_hint=len(mixed) + 1024)
     assert rep is not None and bytes(rep) == mixed
+    # pallas tokenizer plans skip LUT builds; the repair bridge must
+    # rebuild them on demand (round-4 regression: NoneType subscript)
+    monkeypatch.setenv("TPUZLIB_PALLAS_TOK", "1")
+    src2 = paradiselost[: 1 << 16]
+    w2 = bytes(tpuzlib.deflate(src2, level=6))
+    rep = inflate_device_v2(
+        _raw(w2[2:-4]), size_hint=len(src2) + 1024, stride_bits=1 << 13,
+        max_cursors=256,
+    )
+    assert rep is not None and bytes(rep) == src2
 
 
 def test_roundtrip_zlib_stream(paradiselost):

@@ -79,6 +79,21 @@ def parse_dynamic_header(reader: BitReader, return_lengths: bool = False):
     arrays (the canonical-decode device path needs lengths, not LUTs).
     Parity with reference src/infblocks.ts:334-523 (DTREE..DTREE states).
     """
+    hlit, lengths = _parse_dynamic_rle(reader)
+    try:
+        lut_lit = huffman.build_lut(lengths[:hlit], "litlen")
+        lut_dist = huffman.build_lut(lengths[hlit:], "dist")
+    except huffman.TreeError as e:
+        raise DataError(str(e))
+    if return_lengths:
+        return lut_lit, lut_dist, lengths[:hlit], lengths[hlit:]
+    return lut_lit, lut_dist
+
+
+def _parse_dynamic_rle(reader: BitReader):
+    """Dynamic-header field + code-length RLE parse -> (hlit, lengths);
+    raises on malformed headers (shared by the LUT and lengths-only
+    entry points)."""
     hlit = reader.bits(5) + 257
     hdist = reader.bits(5) + 1
     hclen = reader.bits(4) + 4
@@ -134,14 +149,21 @@ def parse_dynamic_header(reader: BitReader, return_lengths: bool = False):
         i += rep
     if lengths[256] == 0:
         raise DataError("invalid code -- missing end-of-block")
+    return hlit, lengths
+
+
+def parse_dynamic_lengths(reader: BitReader):
+    """Like parse_dynamic_header but returns only the VALIDATED
+    (lit_lengths, dist_lengths) — skipping the 2x32K flat-LUT builds the
+    canonical-decode device path does not need (~2 ms per dynamic
+    block)."""
+    hlit, lengths = _parse_dynamic_rle(reader)
     try:
-        lut_lit = huffman.build_lut(lengths[:hlit], "litlen")
-        lut_dist = huffman.build_lut(lengths[hlit:], "dist")
+        huffman.check_lengths(lengths[:hlit], "litlen")
+        huffman.check_lengths(lengths[hlit:], "dist")
     except huffman.TreeError as e:
         raise DataError(str(e))
-    if return_lengths:
-        return lut_lit, lut_dist, lengths[:hlit], lengths[hlit:]
-    return lut_lit, lut_dist
+    return lengths[:hlit], lengths[hlit:]
 
 
 # --- vectorized segment decode ----------------------------------------------

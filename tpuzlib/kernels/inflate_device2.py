@@ -269,8 +269,13 @@ def _walk_gap(buf: np.ndarray, bit: int, avail_bits: int,
             return None
 
 
-def _plan_blocks(buf: np.ndarray):
+def _plan_blocks(buf: np.ndarray, build_luts: bool = True):
     """Host pass 1: discover block headers and build per-block LUTs.
+
+    With build_luts=False the flat 2^15 decode LUTs are skipped (the
+    Pallas tokenizer decodes from canonical count tables instead —
+    building 2x32K LUTs per dynamic block costs ~0.2 s on a 115-block
+    stream); plan entries then carry luts=None for dynamic blocks.
 
     Returns a list of [header_bit, data_start_bit, stop_bit, luts,
     bfinal, open_end, is_stored, lens_info].  stop_bit is the position
@@ -328,10 +333,14 @@ def _plan_blocks(buf: np.ndarray):
                 luts = (fixed_litlen_lut(), fixed_dist_lut())
                 lens_info = ("fixed",)
             elif btype == 2:
-                ll, ld, litlens, distlens = tk.parse_dynamic_header(
-                    reader, return_lengths=True
-                )
-                luts = (ll, ld)
+                if build_luts:
+                    ll, ld, litlens, distlens = tk.parse_dynamic_header(
+                        reader, return_lengths=True
+                    )
+                    luts = (ll, ld)
+                else:
+                    litlens, distlens = tk.parse_dynamic_lengths(reader)
+                    luts = None
                 lens_info = ("dyn", litlens, distlens)
             else:
                 return blocks or None
@@ -584,8 +593,9 @@ class _Plan:
                  "luts_lit", "luts_dist", "meta")
 
 
-def _cursor_plan(buf: np.ndarray, stride_bits: int, max_cursors: int):
-    plan = _plan_blocks(buf)
+def _cursor_plan(buf: np.ndarray, stride_bits: int, max_cursors: int,
+                 build_luts: bool = True):
+    plan = _plan_blocks(buf, build_luts=build_luts)
     if plan is None:
         return None
     starts, stops, block_of = [], [], []
@@ -616,8 +626,11 @@ def _cursor_plan(buf: np.ndarray, stride_bits: int, max_cursors: int):
     out.starts = starts
     out.stops = stops
     out.block_of = block_of
-    out.luts_lit = np.concatenate([p[3][0] for p in plan])
-    out.luts_dist = np.concatenate([p[3][1] for p in plan])
+    if all(p[3] is not None for p in plan):
+        out.luts_lit = np.concatenate([p[3][0] for p in plan])
+        out.luts_dist = np.concatenate([p[3][1] for p in plan])
+    else:
+        out.luts_lit = out.luts_dist = None
     out.meta = (first, last, bstart, plan, stored_f)
     return out
 
@@ -655,6 +668,29 @@ def make_inflate_fused(K: int, CAP: int, out_cap: int):
         return meta, out, comp
 
     return run
+
+
+def _block_luts(p):
+    """Flat decode LUTs for a plan entry, built on demand: plans made
+    for the Pallas tokenizer skip LUT construction (build_luts=False),
+    but the host repair bridge decodes with them.  Caches on the entry."""
+    if p[3] is not None:
+        return p[3]
+    lens_info = p[7]
+    if lens_info[0] == "stored":
+        luts = (stored_lut(), np.zeros(32768, np.uint32))
+    elif lens_info[0] == "fixed":
+        luts = (fixed_litlen_lut(), fixed_dist_lut())
+    else:
+        from ..codec import huffman
+
+        _, litlens, distlens = lens_info
+        luts = (
+            huffman.build_lut(litlens, "litlen"),
+            huffman.build_lut(distlens, "dist"),
+        )
+    p[3] = luts
+    return luts
 
 
 def _repair_splice(buf, avail_bits, Kpad, CAP, K, plan, block_a, stops_a,
@@ -723,7 +759,7 @@ def _repair_splice(buf, avail_bits, Kpad, CAP, K, plan, block_a, stops_a,
         idxs = np.flatnonzero((blk_np == b) & active_a[:K])
         if len(idxs) == 0:
             return None
-        luts = p[3]
+        luts = _block_luts(p)
         current = int(idxs[0])
         if not (cnt_np[current] == 0 or bp0[current] == bstart_a[current]):
             return None  # unanchored block start: real decode problem
@@ -918,7 +954,14 @@ def inflate_device_v2(
         stride_bits = 1 << max(12, (stride_bits - 1).bit_length())
     else:
         stride_bits = -(-stride_bits // 4096) * 4096
-    cp = _cursor_plan(buf, stride_bits, max_cursors)
+    # the Pallas tokenizer decodes from canonical count tables, so the
+    # 2x32K flat LUTs are only needed by the XLA/mesh/fused paths
+    need_luts = (
+        not use_pallas_tok
+        or mesh is not None
+        or _os.environ.get("TPUZLIB_FUSED", "0") == "1"
+    )
+    cp = _cursor_plan(buf, stride_bits, max_cursors, build_luts=need_luts)
     if cp is None:
         return None
     K, Kpad = cp.K, cp.Kpad
@@ -965,7 +1008,7 @@ def inflate_device_v2(
         early, np.maximum(bstart_a, starts_a - OVERLAP), starts_a
     ).astype(np.int32)
 
-    w32 = _build_w32(jnp, jnp.asarray(buf))
+    w32 = None if not need_luts else _build_w32(jnp, jnp.asarray(buf))
     window = (
         dictionary[-((1 << 15) - 1):].astype(np.uint8)
         if dictionary is not None and len(dictionary)
