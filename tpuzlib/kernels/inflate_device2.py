@@ -727,9 +727,14 @@ def _repair_splice(buf, avail_bits, Kpad, CAP, K, plan, block_a, stops_a,
 
     # every tunnel round-trip costs ~25 ms, so prefetch the tape rows
     # the bridges will plausibly probe (successors of failed boundaries
-    # and of mid-block EOB cursors) in ONE batched gather
+    # and of mid-block EOB cursors) in ONE batched gather.  Block-LAST
+    # cursors are excluded: their anyc is legitimately false (no
+    # boundary) and including them pulled ~12 rows per block — ~600 ms
+    # of needless tunnel traffic on a 115-block stream (measured).
     suspects = np.flatnonzero(
-        active_a[:K] & (~anyc[:K].astype(bool) | (st_np[:K] == ST_EOB))
+        active_a[:K]
+        & ~last_a[:K]
+        & (~anyc[:K].astype(bool) | (st_np[:K] == ST_EOB))
     )
     want: list[int] = []
     for s in suspects:
