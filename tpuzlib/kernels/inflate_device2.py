@@ -715,6 +715,10 @@ def _repair_splice(buf, avail_bits, Kpad, CAP, K, plan, block_a, stops_a,
     unparseable structure)."""
     import jax.numpy as jnp
 
+    import time as _time
+
+    _rt = {"rows": 0.0, "decode": 0.0, "nbridge": 0, "nrows": 0}
+    _t00 = _time.time()
     jstop, anyc, firstc, jentry, bp0, bp_cut = diag_np
     w64 = tk.byte_windows64(buf)
     keep_lo = np.full(Kpad, CAP, np.int32)
@@ -752,11 +756,14 @@ def _repair_splice(buf, avail_bits, Kpad, CAP, K, plan, block_a, stops_a,
 
     def get_row(k):
         if k not in row_cache:
+            t0 = _time.time()
             base = min(k, Kpad - RG)
             idxs = np.arange(base, base + RG, dtype=np.int32)
             rows = np.asarray(gather(tok_bp, jnp.asarray(idxs)))
             for i, kk in enumerate(idxs):
                 row_cache[int(kk)] = rows[i]
+            _rt["rows"] += _time.time() - t0
+            _rt["nrows"] += 1
         return row_cache[k]
 
     blk_np = block_a[:K]
@@ -802,6 +809,8 @@ def _repair_splice(buf, avail_bits, Kpad, CAP, K, plan, block_a, stops_a,
                 return None
             keep_hi[current] = int(jstop[current])
             pos = int(bp_cut[current])
+            _rt["nbridge"] += 1
+            _t0b = _time.time()
             targets = [int(k2) for k2 in idxs if k2 > current]
             guard_end = int(stops_a[int(idxs[-1])]) + 4096
             lit_parts, dist_parts = [], []
@@ -835,6 +844,7 @@ def _repair_splice(buf, avail_bits, Kpad, CAP, K, plan, block_a, stops_a,
                     break
                 if pos > guard_end:
                     return None
+            _rt["decode"] += _time.time() - _t0b
             if lit_parts:
                 bridge_ins[current] = (
                     np.concatenate(lit_parts),
@@ -846,6 +856,15 @@ def _repair_splice(buf, avail_bits, Kpad, CAP, K, plan, block_a, stops_a,
             keep_lo[k2] = ii  # cursors (current, k2) stay dead
             current = k2
         block_end_bits.append(b_end)
+    import os as _os2
+
+    if _os2.environ.get("TPUZLIB_TIME_INFLATE"):
+        print(
+            f"[repair] total {(_time.time()-_t00)*1000:.0f} ms; "
+            f"bridges {_rt['nbridge']}, decode {_rt['decode']*1000:.0f} ms, "
+            f"lazy row batches {_rt['nrows']} ({_rt['rows']*1000:.0f} ms)",
+            flush=True,
+        )
     return keep_lo, keep_hi, bridge_ins, block_end_bits
 
 
