@@ -79,3 +79,33 @@ def test_container_aware_parallel(paradiselost):
     wire[-2] ^= 0xFF
     with pytest.raises(ValueError, match="integrity"):
         inflate_parallel_container(bytes(wire), n_segments=2)
+
+
+def test_find_all_block_starts_native_vs_numpy(monkeypatch):
+    """The one-pass header scan (round 4) must find exactly the real
+    block headers, and the numpy fallback must agree with the native
+    tz_find_headers scan."""
+    import zlib
+
+    import numpy as np
+
+    from tpuzlib.parallel import speculative as sp
+
+    text = open("/root/reference/test/paradiselost.txt", "rb").read()[: 1 << 18]
+    wire = zlib.compress(text, 6)
+    buf = np.frombuffer(wire[2:-4], np.uint8)
+
+    native = sp.find_all_block_starts(buf)
+    import tpuzlib.native.bindings as nb
+
+    monkeypatch.setattr(nb, "native_available", lambda: False)
+    fallback = sp.find_all_block_starts(buf)
+    assert list(native) == list(fallback)
+    # the stream's actual headers: first block at bit 0 is not a
+    # *discovered* candidate requirement, but subsequent ones must chain
+    from tpuzlib.kernels.inflate_device2 import _plan_blocks
+
+    plan = _plan_blocks(buf)
+    real = [p[0] for p in plan]
+    for h in real[1:]:
+        assert h in native, h
