@@ -720,7 +720,6 @@ def _repair_splice(buf, avail_bits, Kpad, CAP, K, plan, block_a, stops_a,
     _rt = {"rows": 0.0, "decode": 0.0, "nbridge": 0, "nrows": 0}
     _t00 = _time.time()
     jstop, anyc, firstc, jentry, bp0, bp_cut = diag_np
-    w64 = tk.byte_windows64(buf)
     keep_lo = np.full(Kpad, CAP, np.int32)
     keep_hi = np.zeros(Kpad, np.int32)
     bridge_ins: dict[int, tuple] = {}
@@ -745,12 +744,14 @@ def _repair_splice(buf, avail_bits, Kpad, CAP, K, plan, block_a, stops_a,
         want.extend(range(int(s) + 1, min(int(s) + 13, K)))
     want = sorted(set(want))
     if want:
-        for base in range(0, len(want), 256):
-            chunk = want[base : base + 256]
-            idxs = np.full(256, chunk[-1], np.int32)
+        # 32-row buckets: a 256-row gather pulled 1.9 MB through the
+        # ~45 MB/s tunnel for a handful of suspects
+        for base in range(0, len(want), 32):
+            chunk = want[base : base + 32]
+            idxs = np.full(32, chunk[-1], np.int32)
             idxs[: len(chunk)] = chunk
-            g256 = make_row_gather(Kpad, CAP, 256)
-            rows = np.asarray(g256(tok_bp, jnp.asarray(idxs)))
+            g32 = make_row_gather(Kpad, CAP, 32)
+            rows = np.asarray(g32(tok_bp, jnp.asarray(idxs)))
             for i, kk in enumerate(chunk):
                 row_cache[int(kk)] = rows[i]
 
@@ -813,13 +814,23 @@ def _repair_splice(buf, avail_bits, Kpad, CAP, K, plan, block_a, stops_a,
             _t0b = _time.time()
             targets = [int(k2) for k2 in idxs if k2 > current]
             guard_end = int(stops_a[int(idxs[-1])]) + 4096
+            # bridge-local bit windows: building them for the WHOLE
+            # stream cost ~90 ms/call (profiled); a bridge spans a few
+            # KB at most
+            wbyte0 = pos >> 3
+            wspan = min(len(buf) - wbyte0, (guard_end - pos) // 8 + 64)
+            w64loc = tk.byte_windows64(buf[wbyte0 : wbyte0 + wspan])
+            wbase = wbyte0 * 8
+            avail_loc = min(avail_bits - wbase, wspan * 8)
             lit_parts, dist_parts = [], []
             sync = None
             while True:
                 try:
-                    litl, dst, kind, newpos = tk.decode_segment(
-                        w64, pos, avail_bits, luts[0], luts[1], 4096
+                    litl, dst, kind, npos_rel = tk.decode_segment(
+                        w64loc, pos - wbase, avail_loc, luts[0], luts[1],
+                        4096,
                     )
+                    newpos = npos_rel + wbase
                 except tk.DataError:
                     return None
                 lit_parts.append(litl)
