@@ -21,8 +21,8 @@ Public API (parity with reference dist/sd-zlib.d.ts):
 
 from .common import mergeBuffers, u8_view
 from .api.checksums import adler32, crc32
-from .api.inflate_api import Inflater, inflate, InflateResult
-from .api.deflate_api import Deflater, deflate
+from .api.inflate_api import Inflater, InflaterOptions, inflate, InflateResult
+from .api.deflate_api import Deflater, DeflaterOptions, deflate
 
 
 def __getattr__(name):
@@ -46,9 +46,11 @@ __all__ = [
     "mergeBuffers",
     "u8_view",
     "Inflater",
+    "InflaterOptions",
     "inflate",
     "InflateResult",
     "Deflater",
+    "DeflaterOptions",
     "deflate",
 ]
 

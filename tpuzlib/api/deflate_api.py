@@ -142,23 +142,16 @@ DEVICE_MIN_BYTES = 4 << 20  # one-shot device dispatch threshold
 
 
 def _device_backend_ready() -> bool:
-    """True when the jax default backend is a TPU.
+    """True when device dispatch is explicitly enabled.
 
-    TPUZLIB_DEVICE=0 disables device dispatch; =1 forces it (tests).
-    The first call on a TPU host pays backend attach (seconds through a
-    remote tunnel) — acceptable for the >=4 MiB one-shot sizes this
-    gates."""
+    DISPATCH POLICY (round 5): device compression is OPT-IN via
+    TPUZLIB_DEVICE=1.  The measured device encoder is slower end-to-end
+    than the host engine through the remote tunnel (BENCH_r04: 12.56 vs
+    50.8 MB/s), so auto-routing TPU hosts to it would ship a regression
+    as a feature.  Host default until the device artifact number wins."""
     import os
 
-    env = os.environ.get("TPUZLIB_DEVICE", "")
-    if env == "0":
-        return False
-    try:
-        import jax
-
-        return jax.default_backend() == "tpu" or env == "1"
-    except Exception:  # pragma: no cover
-        return False
+    return os.environ.get("TPUZLIB_DEVICE", "") == "1"
 
 
 def _deflate_device_oneshot(view, options) -> Optional[np.ndarray]:
@@ -223,9 +216,10 @@ def _deflate_device_oneshot(view, options) -> Optional[np.ndarray]:
 def deflate(data, options: DeflaterOptions | None = None, **kwargs) -> np.ndarray:
     """One-shot compress (parity with sd-deflate.ts:263-274).
 
-    On a TPU host, inputs >= DEVICE_MIN_BYTES route to the v3 device
+    With TPUZLIB_DEVICE=1, inputs >= 1 MiB route to the v3 device
     encoder (kernels/deflate_device3.py) with host container framing;
-    anything else (or any device fault) uses the host engine."""
+    by default (or on any device fault) the host engine runs — see
+    _device_backend_ready for the dispatch policy."""
     from ..utils.mem import tune_malloc
 
     tune_malloc()  # large codec buffers must not be munmap'd per call

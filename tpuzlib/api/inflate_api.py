@@ -148,23 +148,24 @@ def _inflate_device_oneshot(input_, dictionary):
     Returns decompressed bytes, or None when the device path declines
     (backend/size gates or speculation/stored fallback).  Checksum
     verdicts raise exactly like the host path; fallbacks are counted and
-    logged, never silent."""
+    logged, never silent.
+
+    DISPATCH POLICY (round 5): device decode is OPT-IN via
+    TPUZLIB_DEVICE=1.  The measured device path is still slower than the
+    host fallback end-to-end through the remote tunnel (BENCH_r04:
+    5.04 vs 187.9 MB/s), so auto-routing TPU hosts to it would make the
+    default `tpuzlib.inflate()` a regression.  Until the device e2e
+    number beats the host path on the recorded artifact, the host engine
+    stays the default everywhere and the device pipeline is explicit."""
     import os
     import struct
 
     from ..utils import trace
 
     env = os.environ.get("TPUZLIB_DEVICE", "")
-    if env == "0":
+    if env != "1":
         return None
-    if len(input_) < (1 << 18 if env == "1" else DEVICE_MIN_BYTES):
-        return None
-    try:
-        import jax
-
-        if jax.default_backend() != "tpu" and env != "1":
-            return None
-    except Exception:  # pragma: no cover
+    if len(input_) < (1 << 18):
         return None
     from ..kernels.inflate_device2 import inflate_device_v2
 

@@ -133,6 +133,21 @@ def match_lengths_v3(jax, jnp, data, lim16, limit, mincand, chid, level):
     # value (ratio, not correctness).
     need = (sc >= 16) & (d > 0) & ~link & (limit > 16)
     ext_cap = max(1024, total // 256)
+    # cap-overflow attribution (ADVICE r4): positions beyond ext_cap keep
+    # their 16-byte chain value (shorter match, ratio-only).  With
+    # TPUZLIB_TRACE_EXT=1 at program-build time the overflow count lands
+    # in the trace counters so a ratio regression is attributable.
+    import os as _os
+
+    if _os.environ.get("TPUZLIB_TRACE_EXT") == "1":
+        from ..utils import trace as _trace
+
+        novf = jnp.maximum(
+            jnp.sum(need.astype(jnp.int32)) - jnp.int32(ext_cap), 0
+        )
+        jax.debug.callback(
+            lambda v: _trace.count("deflate.ext_cap_overflow", int(v)), novf
+        )
     epos = jnp.nonzero(need, size=ext_cap, fill_value=total)[0].astype(
         jnp.int32
     )

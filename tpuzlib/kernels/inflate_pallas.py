@@ -302,7 +302,10 @@ def _decode_kernel(G: int, NWp: int, CAPR: int, interpret: bool):
                 dex_w & ((jnp.uint32(1) << deb.astype(jnp.uint32)) - 1)
             ).astype(jnp.int32)
             dval = dbase + dextra
-            bad = bad | (run & is_len & ~okd)
+            # okd: no dist code length matched; dent INVALID bit: a real
+            # canonical code for a reserved distance symbol (fixed tree
+            # 30/31) — mirror inflate_device2 line ~112 / inftree.ts parity
+            bad = bad | (run & is_len & (~okd | ((dent >> 31) != 0)))
 
             jump = jnp.where(is_len, jump1 + dL + deb, jump1)
             nxt = pos + jump

@@ -951,7 +951,11 @@ int64_t tz_find_headers(const uint8_t* src, int64_t src_len,
     int32_t fin, st;
     int64_t n = tz_inflate_tokenize(src, src_len, bit, bit + 1, ll, dd, 64,
                                     &eb, &fin, &st);
-    if (st == 3 || (st == 0 && n >= 8)) {
+    // confirm: tape overflow (plenty of symbols parse) OR a clean parse
+    // of >=8 symbols OR a clean bounded parse straight through the final
+    // EOB — the last case covers genuine tiny final blocks (<8 symbols),
+    // which a count-only rule would silently never discover (ADVICE r4)
+    if (st == 3 || (st == 0 && (n >= 8 || fin))) {
       out_pos[found++] = bit;
       if (found >= cap) return found;
     }

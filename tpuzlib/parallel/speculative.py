@@ -197,7 +197,9 @@ def _native_probe(buf: np.ndarray, bit_pos: int) -> bool | None:
     )
     if status.value == 3:
         return True  # cap overflow: header + >=64 symbols decoded
-    return status.value == 0 and ntok >= 8
+    # clean parse of >=8 symbols, or clean parse straight through the
+    # final EOB (tiny final blocks; keep in sync with tz_find_headers)
+    return status.value == 0 and (ntok >= 8 or finished.value != 0)
 
 
 def find_all_block_starts(buf: np.ndarray, from_bit: int = 0,
