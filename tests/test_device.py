@@ -22,37 +22,31 @@ def mixed_data(rng=None):
     return b"".join(parts)
 
 
-def test_device_static_pack_roundtrip(mixed_data):
-    """Static-tree packing (pack_static_block, the sharded pipeline's
-    dynamic=False path) round-trips as a valid fixed-Huffman block."""
+def test_segment_parse_xla_roundtrip(mixed_data):
+    """The retained v3 support pieces in kernels/deflate_device: the XLA
+    segment parse agrees with a host walk of the same step tape."""
     import jax
     import jax.numpy as jnp
 
-    from tpuzlib.codec.bitsink import BitSink
     from tpuzlib.kernels import deflate_device as dd
 
-    n = 1 << 15
-    payload = mixed_data[:n]
-    data = np.zeros(dd.CTX + n, np.uint8)
-    data[dd.CTX :] = np.frombuffer(payload, np.uint8)
-
-    @jax.jit
-    def enc(buf):
-        is_token, litlen, dist = dd.match_and_parse(
-            jax, jnp, buf, np.int32(0), np.int32(n), 4
+    rng = np.random.default_rng(2)
+    n = 1 << 14
+    step = np.ones(n, np.int32)
+    i = 0
+    want = np.zeros(n, bool)
+    while i < n:
+        want[i] = True
+        s = int(rng.integers(1, 9))
+        s = min(s, dd.SEG - (i % dd.SEG))
+        step[i] = s
+        i += s
+    got = np.asarray(
+        jax.jit(lambda st: dd.segment_parse_xla(jax, jnp, st, n))(
+            jnp.asarray(step)
         )
-        return dd.pack_static_block(jax, jnp, is_token, litlen, dist,
-                                    np.int32(1))
-
-    words, bits = enc(jnp.asarray(data))
-    w, b = np.asarray(words), int(bits)
-    sink = BitSink()
-    if b >> 5:
-        sink.push(w[: b >> 5].astype(np.uint64), np.full(b >> 5, 32, np.int64))
-    if b & 31:
-        sink.push_scalar(int(w[b >> 5]) & ((1 << (b & 31)) - 1), b & 31)
-    raw, _, _ = sink.flush(final=True)
-    assert zlib.decompress(bytes(raw), -15) == payload
+    )
+    assert (got == want).all()
 
 
 def test_device_deflate_v3_roundtrip_small_chunks(mixed_data):
@@ -244,9 +238,10 @@ def test_sharded_deflate_arbitrary_lengths():
         assert crc == zlib.crc32(data.tobytes())
 
 
-def test_sharded_deflate_dynamic_beats_static():
-    """Dynamic-tree mesh blocks must compress text tighter than the
-    static-tree path."""
+def test_sharded_deflate_v3_ratio():
+    """The mesh path now runs the flagship v3 encoder per shard: on text
+    it must land near the single-chip v3 ratio (~0.41), far below the
+    static-tree ~0.58 the retired v1 mesh path produced."""
     from tpuzlib.parallel import make_mesh, sharded_deflate
 
     mesh = make_mesh(4, platform="cpu")
@@ -254,10 +249,8 @@ def test_sharded_deflate_dynamic_beats_static():
         open("/root/reference/test/paradiselost.txt", "rb").read()[: 1 << 16],
         np.uint8,
     )
-    out_dyn, _, _ = sharded_deflate(text, mesh, level=6, dynamic=True)
-    out_sta, _, _ = sharded_deflate(text, mesh, level=6, dynamic=False)
+    out, _, _ = sharded_deflate(text, mesh, level=6)
     import zlib
 
-    assert zlib.decompress(bytes(out_dyn)) == text.tobytes()
-    assert zlib.decompress(bytes(out_sta)) == text.tobytes()
-    assert len(out_dyn) < len(out_sta)
+    assert zlib.decompress(bytes(out)) == text.tobytes()
+    assert len(out) < 0.5 * len(text)

@@ -42,7 +42,7 @@ data = (b"multi host shard payload " * 4096)[:n]
 padded = np.zeros(shard_len * ndev, np.uint8)
 padded[:n] = np.frombuffer(data, np.uint8)
 
-run, _ = build_sharded_deflate(mesh, shard_len, level=6, ctx=512, dynamic=True)
+run, _ = build_sharded_deflate(mesh, shard_len, level=6, ctx=512)
 # each process owns its local slice of the global array
 from jax.experimental import multihost_utils
 local = padded.reshape(ndev, shard_len)[
@@ -51,7 +51,7 @@ local = padded.reshape(ndev, shard_len)[
 garr = multihost_utils.host_local_array_to_global_array(
     local, mesh, P("shards")
 )
-words, nbits, s_g, w_g, l_g = run(garr, n)
+words, nbits, ok, s_g, w_g, l_g = run(garr, n)
 # replicated checksum scalars are addressable everywhere
 import zlib
 s1 = (1 + int(np.asarray(s_g.addressable_data(0))[0])) % 65521

@@ -105,43 +105,3 @@ def canonical_codes_device(jax, jnp, lengths):
     return jnp.where(lengths > 0, rev, 0).astype(jnp.uint32)
 
 
-def dynamic_header_device(jax, jnp, ll, dl):
-    """Emit the dynamic block header as (words u32[HWORDS], nbits).
-
-    Always HLIT=286, HDIST=30, HCLEN=19, lengths written directly through
-    a 0..15 code-length tree (no RLE) — fully static shapes."""
-    from ..codec.tables import CLC_ORDER
-
-    all_lengths = jnp.concatenate([ll[:286], dl[:30]])  # (316,)
-    cl_freq = jnp.zeros(19, jnp.int32).at[jnp.clip(all_lengths, 0, 18)].add(1)
-    cl_len = package_merge_device(jax, jnp, cl_freq, 7)
-    cl_codes = canonical_codes_device(jax, jnp, cl_len)
-
-    # fields: HLIT(5)=29, HDIST(5)=29, HCLEN(4)=15, 19x3 CLC lengths in
-    # CLC_ORDER, then 316 coded lengths
-    clc_in_order = cl_len[jnp.asarray(CLC_ORDER)]
-    head_vals = jnp.concatenate(
-        [
-            jnp.array([29, 29, 15], jnp.uint32),
-            clc_in_order.astype(jnp.uint32),
-        ]
-    )
-    head_bits = jnp.concatenate(
-        [jnp.array([5, 5, 4], jnp.int32), jnp.full(19, 3, jnp.int32)]
-    )
-    sym_vals = cl_codes[all_lengths]
-    sym_bits = cl_len[all_lengths]
-    vals = jnp.concatenate([head_vals, sym_vals])
-    nbits = jnp.concatenate([head_bits, sym_bits])
-
-    offsets = jnp.cumsum(nbits) - nbits
-    total = jnp.sum(nbits)
-    HWORDS = (3 * 22 + 316 * 7) // 32 + 3
-    words = jnp.zeros(HWORDS, jnp.uint32)
-    idx = offsets >> 5
-    sh = (offsets & 31).astype(jnp.uint32)
-    w0 = (vals << sh).astype(jnp.uint32)
-    w1 = jnp.where(sh > 0, vals >> (jnp.uint32(32) - sh), jnp.uint32(0))
-    words = words.at[idx].add(w0)
-    words = words.at[idx + 1].add(w1)
-    return words, total

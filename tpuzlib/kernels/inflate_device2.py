@@ -41,6 +41,11 @@ INVALID_BIT = 1 << 31
 ST_RUN, ST_STRIDE_END, ST_EOB, ST_ERR, ST_OOB = 0, 1, 2, 3, 4
 
 
+class RepairCapExceeded(Exception):
+    """Splice repair exceeded its bridge/row-pull budget (verdict r5 #8):
+    the caller takes the single full host fallback instead."""
+
+
 def _jnp():
     import jax
     import jax.numpy as jnp
@@ -712,10 +717,29 @@ def _repair_splice(buf, avail_bits, Kpad, CAP, K, plan, block_a, stops_a,
 
     Returns (keep_lo, keep_hi, bridge_ins, block_end_bits) or None when
     the stream needs the full host engine (real data errors, truncation,
-    unparseable structure)."""
+    unparseable structure).
+
+    WORST-CASE BOUND (round-5 verdict #8): a pathological stream could
+    break thousands of boundaries, degenerating this walk into host-
+    decode-everything plus a tunnel row-pull per bridge.  Bridges and
+    lazy row batches are therefore CAPPED (TPUZLIB_REPAIR_MAX_BRIDGES /
+    TPUZLIB_REPAIR_MAX_ROW_BATCHES, default 64 each — a healthy 8 MB
+    stream repairs with ~1-3 bridges); past the cap the repair declines
+    ONCE (trace counter inflate.repair_cap_exceeded) and the caller
+    takes the single full host fallback instead of a tunnel storm."""
+    import os as _os
+    import time as _time
+
     import jax.numpy as jnp
 
-    import time as _time
+    from ..utils import trace as _trace
+
+    max_bridges = int(_os.environ.get("TPUZLIB_REPAIR_MAX_BRIDGES", "64"))
+    max_row_batches = int(
+        _os.environ.get("TPUZLIB_REPAIR_MAX_ROW_BATCHES", "64")
+    )
+
+    _CapExceeded = RepairCapExceeded
 
     _rt = {"rows": 0.0, "decode": 0.0, "nbridge": 0, "nrows": 0}
     _t00 = _time.time()
@@ -757,6 +781,8 @@ def _repair_splice(buf, avail_bits, Kpad, CAP, K, plan, block_a, stops_a,
 
     def get_row(k):
         if k not in row_cache:
+            if _rt["nrows"] >= max_row_batches:
+                raise _CapExceeded("row batches")
             t0 = _time.time()
             base = min(k, Kpad - RG)
             idxs = np.arange(base, base + RG, dtype=np.int32)
@@ -810,6 +836,8 @@ def _repair_splice(buf, avail_bits, Kpad, CAP, K, plan, block_a, stops_a,
                 return None
             keep_hi[current] = int(jstop[current])
             pos = int(bp_cut[current])
+            if _rt["nbridge"] >= max_bridges:
+                raise _CapExceeded("bridges")
             _rt["nbridge"] += 1
             _t0b = _time.time()
             targets = [int(k2) for k2 in idxs if k2 > current]
@@ -867,9 +895,8 @@ def _repair_splice(buf, avail_bits, Kpad, CAP, K, plan, block_a, stops_a,
             keep_lo[k2] = ii  # cursors (current, k2) stay dead
             current = k2
         block_end_bits.append(b_end)
-    import os as _os2
-
-    if _os2.environ.get("TPUZLIB_TIME_INFLATE"):
+    _trace.count("inflate.repair_bridge", _rt["nbridge"])
+    if _os.environ.get("TPUZLIB_TIME_INFLATE"):
         print(
             f"[repair] total {(_time.time()-_t00)*1000:.0f} ms; "
             f"bridges {_rt['nbridge']}, decode {_rt['decode']*1000:.0f} ms, "
@@ -1178,14 +1205,26 @@ def inflate_device_v2(
         # TPUZLIB_FORCE_REPAIR=1 exercises the repair path on healthy
         # streams (tests): it must reproduce the fast path's output
         if ok != 1 or _os.environ.get("TPUZLIB_FORCE_REPAIR") == "1":
-            repair = _repair_splice(
-                buf, avail_bits, Kpad, CAP, K, plan,
-                np.asarray(block_a), stops_a, first_a, last_a, bstart_a,
-                active_a, stored_a, expect_eob_a,
-                np.asarray(cnt), np.asarray(status), np.asarray(end_pos),
-                tuple(np.asarray(d) for d in diag),
-                tok_bp,
-            )
+            try:
+                repair = _repair_splice(
+                    buf, avail_bits, Kpad, CAP, K, plan,
+                    np.asarray(block_a), stops_a, first_a, last_a, bstart_a,
+                    active_a, stored_a, expect_eob_a,
+                    np.asarray(cnt), np.asarray(status), np.asarray(end_pos),
+                    tuple(np.asarray(d) for d in diag),
+                    tok_bp,
+                )
+            except RepairCapExceeded as cap:
+                from ..utils import trace as _trace
+
+                _trace.count("inflate.repair_cap_exceeded", 1)
+                import logging
+
+                logging.getLogger("tpuzlib").warning(
+                    "splice repair exceeded its %s cap; taking the single "
+                    "full host fallback", cap,
+                )
+                repair = None
             if repair is None:
                 if _os.environ.get("TPUZLIB_DEBUG_INFLATE"):
                     _debug_splice_fail(
