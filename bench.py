@@ -225,31 +225,30 @@ def _run_tpu_section(extras, txt):
 
         assert crc_val == _z.crc32(data.tobytes())
 
-        # device-time split (loop differencing; excludes the ~24 ms
-        # tunnel dispatch floor baked into the e2e numbers above)
+        # device-time split: COPY-FREE loop timing (round 5).  The round
+        # -4 method mutated the 64 MB input via d.at[0].set per
+        # iteration; probe_crc2.py measured that carry copy alone at
+        # ~22.5 ms — it dominated, and the recorded 2.48 GB/s crc was
+        # the copy, not the kernel.  Now the loop carry feeds the Pallas
+        # kernels through a tiny value-neutral `mix` input: XLA cannot
+        # hoist the call (its input changes) and nothing big is copied.
         from tpuzlib.kernels.adler32_pallas import adler32_device_jit
         from tpuzlib.kernels.crc32_pallas import crc32_device_jit
 
-        def crc_body(i, st):
-            d, acc = st
-            d = d.at[0].set((acc & 127).astype(jnp.uint8))
-            return d, acc ^ crc32_device_jit(d)
+        def crc_body(i, acc):
+            mix = jnp.full((8, 128), acc.astype(jnp.int32), jnp.int32)
+            return acc ^ crc32_device_jit(ddata, mix)
 
-        per = _loop_time(jax, crc_body, (ddata, jnp.uint32(0)), floor, k=64)
+        per = _loop_time(jax, crc_body, jnp.uint32(0), floor, k=256)
         extras["tpu_crc32_dev_GBps"] = (
             round(len(data) / per / 1e9, 2) if per else None
         )
 
-        def adl_body(i, st):
-            d, acc = st
-            d = d.at[0].set((acc & 127).astype(jnp.uint8))
-            return d, acc ^ adler32_device_jit(d)
+        def adl_body(i, acc):
+            mix = jnp.full((8, 128), acc.astype(jnp.int32), jnp.int32)
+            return acc ^ adler32_device_jit(ddata, mix)
 
-        # round-3 verdict asked for a sanity bound on the ~210 GB/s
-        # figure: at that rate one 64 MB pass is ~0.3 ms, so k must be
-        # large (256 iterations ~= 80 ms of device time) to rise above
-        # the tunnel's multi-ms dispatch jitter
-        per = _loop_time(jax, adl_body, (ddata, jnp.uint32(0)), floor, k=256)
+        per = _loop_time(jax, adl_body, jnp.uint32(0), floor, k=256)
         extras["tpu_adler32_dev_GBps"] = (
             round(len(data) / per / 1e9, 2) if per else None
         )

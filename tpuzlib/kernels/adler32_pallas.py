@@ -46,7 +46,7 @@ def _kernel_fn(block: int, tile: int):
 
     interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
 
-    def kernel(blocks_ref, rhs_ref, out_ref):
+    def kernel(mix_ref, blocks_ref, rhs_ref, out_ref):
         raw = blocks_ref[:].astype(jnp.int32)  # (tile, block)
         xh = (raw >> 4).astype(jnp.bfloat16)
         xl = (raw & 15).astype(jnp.bfloat16)
@@ -62,12 +62,19 @@ def _kernel_fn(block: int, tile: int):
             + 16 * (16 * ah[:, 2] + al[:, 2])
             + 256 * (16 * ah[:, 3] + al[:, 3])
         )
-        out_ref[:] = jnp.pad(jnp.stack([s, w], axis=1), ((0, 0), (0, 6)))
+        out_ref[:] = jnp.pad(jnp.stack([s, w], axis=1), ((0, 0), (0, 6))) + (
+            mix_ref[0, 0] & 0
+        )
 
     rhs_np = _rhs(block)
 
     @jax.jit
-    def run(blocks):
+    def run(blocks, mix=None):
+        # mix: optional (8,128) i32 consumed value-neutrally — timing
+        # loops feed their carry through it so XLA cannot hoist the call
+        # (round-5 methodology fix; see tools/probe_crc3.py)
+        if mix is None:
+            mix = jnp.zeros((8, 128), jnp.int32)
         nb = blocks.shape[0]
         grid = nb // tile
         sw = pl.pallas_call(
@@ -75,12 +82,13 @@ def _kernel_fn(block: int, tile: int):
             out_shape=jax.ShapeDtypeStruct((nb, 8), jnp.int32),
             grid=(grid,),
             in_specs=[
+                pl.BlockSpec((8, 128), lambda i: (0, 0)),
                 pl.BlockSpec((tile, block), lambda i: (i, 0)),
                 pl.BlockSpec((block, 8), lambda i: (0, 0)),
             ],
             out_specs=pl.BlockSpec((tile, 8), lambda i: (i, 0)),
             interpret=interpret,
-        )(blocks, jnp.asarray(rhs_np))
+        )(mix, blocks, jnp.asarray(rhs_np))
         s_b = sw[:, 0] % MOD
         w_b = sw[:, 1] % MOD
 
@@ -108,12 +116,14 @@ def _kernel_fn(block: int, tile: int):
 _scalar_cache = {}
 
 
-def adler32_device_jit(data):
+def adler32_device_jit(data, mix=None):
     """Fully-on-device Adler-32 (seed 1) of a u8 device array.
 
     One jit program (Pallas per-block (S, W) + in-jit mod combine)
     returning a u32 device scalar; the in-jit/pipeline form of
-    adler32_device_pallas.  Parity target: src/adler32.ts:26-105."""
+    adler32_device_pallas.  Parity target: src/adler32.ts:26-105.
+    `mix`: optional hoist-guard input for timing loops (see
+    crc32_pallas.crc32_device_jit)."""
     import jax
     import jax.numpy as jnp
 
@@ -125,9 +135,9 @@ def adler32_device_jit(data):
         inner = _kernel_fn(BLOCK, TILE)
 
         @jax.jit
-        def run(d):
+        def run(d, mx):
             padded = jnp.pad(d, (pad, 0))
-            s_total, w_total = inner(padded.reshape(-1, BLOCK))
+            s_total, w_total = inner(padded.reshape(-1, BLOCK), mx)
             s1 = (1 + s_total) % MOD
             s2 = ((n % MOD) * 1 + w_total) % MOD
             return (s2.astype(jnp.uint32) << jnp.uint32(16)) | s1.astype(
@@ -135,7 +145,11 @@ def adler32_device_jit(data):
             )
 
         fn = _scalar_cache[n] = run
-    return fn(data)
+    if mix is None:
+        import jax.numpy as jnp
+
+        mix = jnp.zeros((8, 128), jnp.int32)
+    return fn(data, mix)
 
 
 def adler32_device_pallas(data, seed: int = 1) -> int:

@@ -477,13 +477,17 @@ def _byte_planes(jnp, codes, bits, nsym_pad):
 
 
 def make_encode_batch_v3(level: int, chunk: int, batch: int, out_words: int,
-                         ctx: int = CTX):
+                         ctx: int = CTX, stage: str = "full"):
     """encode(data u8[B, ctx+chunk], ctx_valid i32[B], n_valid i32[B],
     last i32[B]) -> (words u32[B, out_words], total_bits i32[B], ok i32[B])
 
     ok[b] == 0 when chunk b overflowed the token cap (caller re-encodes
     that chunk on host — happens only on pathological all-literal data,
-    where a stored block is the right encoding anyway)."""
+    where a stored block is the right encoding anyway).
+
+    stage: profiling knob (tools/profile_v3_post.py) — truncate the
+    program after 'tokens' | 'compact' | 'trees' | 'header' | 'fields';
+    'full' (default) is the production encoder."""
     jax, jnp = _jnp()
     from .huffman_device import (
         canonical_codes_device,
@@ -502,6 +506,8 @@ def make_encode_batch_v3(level: int, chunk: int, batch: int, out_words: int,
         starts, litlen, dist = _tokens_v3(
             jax, jnp, B, ctx, N, data, ctx_valids, n_valids, level
         )
+        if stage == "tokens":
+            return starts.astype(jnp.int32), litlen, dist
 
         # ---- compact tokens to (B, T_CAP) ------------------------------
         li = jnp.arange(N, dtype=jnp.int32)
@@ -523,6 +529,8 @@ def make_encode_batch_v3(level: int, chunk: int, batch: int, out_words: int,
         tok = tok.at[jnp.arange(B), eob_at].set(jnp.uint32(256))
         colt = jnp.arange(T_CAP, dtype=jnp.int32)[None, :]
         tok = jnp.where(colt > eob_at[:, None], jnp.uint32(511), tok)
+        if stage == "compact":
+            return tok, M, ok
 
         # ---- histograms (sort + boundary compact) ----------------------
         tlit = (tok & jnp.uint32(0x1FF)).astype(jnp.int32)
@@ -550,6 +558,8 @@ def make_encode_batch_v3(level: int, chunk: int, batch: int, out_words: int,
         codes = jax.vmap(lambda l: canonical_codes_device(jax, jnp, l))(lens)
         lcodes = codes[:B]
         dcodes = codes[B:, :30]
+        if stage == "trees":
+            return ll, dl, lcodes, dcodes
 
         # ---- dynamic header fields with RLE (per chunk) ----------------
         # the code-length sequence is RLE'd with symbols 16/17/18 exactly
@@ -635,6 +645,9 @@ def make_encode_batch_v3(level: int, chunk: int, batch: int, out_words: int,
             axis=1,
         )
 
+        if stage == "header":
+            return hdr_vals, hdr_bits, ok
+
         # ---- per-token fields (Pallas one-hot MXU lookups) -------------
         ltab = _byte_planes(jnp, lcodes, ll, 384)
         dtab = _byte_planes(jnp, dcodes, dl, 32)
@@ -646,6 +659,8 @@ def make_encode_batch_v3(level: int, chunk: int, batch: int, out_words: int,
         lo_t = lo_t.reshape(B, T_CAP)
         hi_t = hi_t.reshape(B, T_CAP)
         nb_t = nb_t.reshape(B, T_CAP)
+        if stage == "fields":
+            return lo_t, hi_t, nb_t
 
         # ---- unified field stream: head3 | header | tokens -------------
         head3 = (jnp.uint32(4) | lasts.astype(jnp.uint32))[:, None]
