@@ -491,23 +491,51 @@ def make_splice_compact(K: int, CAP: int):
         bp_cut = jnp.take_along_axis(
             bp2, jnp.minimum(jstop, CAP - 1)[:, None], axis=1
         )[:, 0]
-        diag = (jstop, any_common, first_c, jentry_next, bp0, bp_cut)
-        return ok.astype(jnp.int32), M, comp, kcnt, diag
+        # ALL host-consumed vectors in ONE array: each np.asarray of a
+        # separate device array is its own ~25 ms tunnel round-trip, and
+        # the repair path needed ~10 of them (measured ~0.25 s of pure
+        # pull latency in round 5) — layout: [ok, M] ++ 10 vectors at
+        # stride K (META_* indices below)
+        meta = jnp.concatenate(
+            [
+                jnp.stack([ok.astype(jnp.int32), M]),
+                cnt, end_pos, status, jstop,
+                any_common.astype(jnp.int32), first_c, jentry_next,
+                bp0, bp_cut, kcnt,
+            ]
+        )
+        return meta, comp, kcnt
 
     return splice
 
 
+# meta vector layout (make_splice_compact): meta[0]=ok, meta[1]=M, then
+# vector i of K entries at [2+i*K : 2+(i+1)*K]
+META_CNT, META_END, META_ST, META_JSTOP, META_ANYC = 0, 1, 2, 3, 4
+META_FIRSTC, META_JENTRY, META_BP0, META_BPCUT, META_KCNT = 5, 6, 7, 8, 9
+
+
+def _meta_vec(meta_np: np.ndarray, K: int, i: int) -> np.ndarray:
+    return meta_np[2 + i * K : 2 + (i + 1) * K]
+
+
 def _compact_bounds(jax, jnp, K, CAP, tok_pack, keep_lo, keep_hi):
     """Compact tape rows [keep_lo, keep_hi) per cursor -> (M, comp,
-    kcnt); shared by the splice fast path and the repair path."""
+    kcnt); shared by the splice fast path and the repair path.
+
+    A stable 2-operand sort on the drop flag keeps kept tokens in
+    original order at the front — round 5 replaced the previous
+    K*CAP-element scatter-max here (TPU scatters serialize; the splice
+    stage measured ~0.4 s/8 MB with it, dominated by this op)."""
     col = jnp.arange(CAP, dtype=jnp.int32)[None, :]
     mask = (col >= keep_lo[:, None]) & (col < keep_hi[:, None])
     flat_mask = mask.reshape(K * CAP)
-    offs = jnp.cumsum(flat_mask.astype(jnp.int32)) - flat_mask
     M = jnp.sum(flat_mask.astype(jnp.int32))
-    comp = jnp.zeros(K * CAP, jnp.uint32).at[
-        jnp.where(flat_mask, offs, K * CAP - 1)
-    ].max(jnp.where(flat_mask, tok_pack, 0))
+    key = (~flat_mask).astype(jnp.int32)
+    _, comp = jax.lax.sort(
+        (key, jnp.where(flat_mask, tok_pack, jnp.uint32(0))),
+        num_keys=1, is_stable=True,
+    )
     kcnt = jnp.clip(keep_hi - keep_lo, 0, CAP)
     return M, comp, kcnt
 
@@ -662,13 +690,13 @@ def make_inflate_fused(K: int, CAP: int, out_cap: int):
             jax, jnp, CAP, w32, starts, stops_dec, block_of,
             luts_lit, luts_dist, avail_bits,
         )
-        ok, M, comp, kcnt, _diag = splice(
+        smeta, comp, kcnt = splice(
             tok_pack, tok_bp, cnt, end_pos, status, stops, block_starts,
             first, last, expect_eob, active,
         )
-        out, total = expand(comp, M, win)
+        out, total = expand(comp, smeta[1], win)
         meta = jnp.concatenate(
-            [jnp.stack([ok, M, total]), end_pos, status, kcnt]
+            [smeta[:2], total[None], end_pos, status, kcnt]
         )
         return meta, out, comp
 
@@ -765,7 +793,11 @@ def _repair_splice(buf, avail_bits, Kpad, CAP, K, plan, block_a, stops_a,
     )
     want: list[int] = []
     for s in suspects:
-        want.extend(range(int(s) + 1, min(int(s) + 13, K)))
+        # 32 successors: the same one-bucket gather cost as 12 (32-row
+        # buckets), and wide enough that bridge syncs landing past s+12
+        # no longer trigger ~27 ms lazy get_row round-trips (measured:
+        # 2 lazy batches = 55 ms of the round-5 repair walk)
+        want.extend(range(int(s) + 1, min(int(s) + 33, K)))
     want = sorted(set(want))
     if want:
         # 32-row buckets: a 256-row gather pulled 1.9 MB through the
@@ -1192,26 +1224,37 @@ def inflate_device_v2(
             )
         splice = make_splice_compact(Kpad, CAP)
         _tick("pre_splice")
-        ok, M, comp, kcnt, diag = splice(
+        smeta, comp, _kcnt_dev = splice(
             tok_pack, tok_bp, cnt, end_pos, status,
             jnp.asarray(stops_a), jnp.asarray(bstart_a),
             jnp.asarray(first_a), jnp.asarray(last_a),
             jnp.asarray(expect_eob_a), jnp.asarray(active_a),
         )
-        ok = int(ok)
+        # ONE tunnel pull for every host-consumed splice vector
+        meta_np = np.asarray(smeta)
+        ok = int(meta_np[0])
+        M = int(meta_np[1])
         _tick("splice_pull")
-        end_np = np.asarray(end_pos)[:K]
-        st_np = np.asarray(status)[:K]
+        end_np = _meta_vec(meta_np, Kpad, META_END)[:K]
+        st_np = _meta_vec(meta_np, Kpad, META_ST)[:K]
+        kcnt_np = _meta_vec(meta_np, Kpad, META_KCNT)[:K]
         # TPUZLIB_FORCE_REPAIR=1 exercises the repair path on healthy
         # streams (tests): it must reproduce the fast path's output
         if ok != 1 or _os.environ.get("TPUZLIB_FORCE_REPAIR") == "1":
+            diag_np = tuple(
+                _meta_vec(meta_np, Kpad, i)
+                for i in (META_JSTOP, META_ANYC, META_FIRSTC, META_JENTRY,
+                          META_BP0, META_BPCUT)
+            )
             try:
                 repair = _repair_splice(
                     buf, avail_bits, Kpad, CAP, K, plan,
                     np.asarray(block_a), stops_a, first_a, last_a, bstart_a,
                     active_a, stored_a, expect_eob_a,
-                    np.asarray(cnt), np.asarray(status), np.asarray(end_pos),
-                    tuple(np.asarray(d) for d in diag),
+                    _meta_vec(meta_np, Kpad, META_CNT),
+                    _meta_vec(meta_np, Kpad, META_ST),
+                    _meta_vec(meta_np, Kpad, META_END),
+                    diag_np,
                     tok_bp,
                 )
             except RepairCapExceeded as cap:
@@ -1240,11 +1283,11 @@ def inflate_device_v2(
             _trace.count("inflate.splice_repair", 1)
             _tick("repair_walk")
             compact = make_compact_bounds(Kpad, CAP)
-            M, comp, kcnt = compact(
+            M_r, comp, kcnt_r = compact(
                 tok_pack, jnp.asarray(keep_lo_r), jnp.asarray(keep_hi_r)
             )
-        M = int(M)
-        kcnt_np = np.asarray(kcnt)[:K]
+            M = int(M_r)
+            kcnt_np = np.asarray(kcnt_r)[:K]
         _tick("compact")
 
     # host validation of block chaining: between block b's EOB and block

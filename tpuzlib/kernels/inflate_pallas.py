@@ -373,13 +373,64 @@ def _decode_kernel(G: int, NWp: int, CAPR: int, interpret: bool):
 # ---------------------------------------------------------------------------
 
 
-def _to_groups(x: np.ndarray, G: int) -> np.ndarray:
-    """(K, R) -> (G*R, 128): group g's rows hold its 128 cursors on
-    lanes."""
-    K, R = x.shape
-    return np.ascontiguousarray(
-        x.reshape(G, KG, R).transpose(0, 2, 1).reshape(G * R, 128)
-    )
+@functools.lru_cache()
+def _prep_and_decode(G: int, NWp: int, CAPR: int, nblkp: int, nwpad: int,
+                     interpret: bool):
+    """ONE jit program: device-side slice gather + per-cursor table
+    gather + group transposes + the Pallas decode + contract reshape.
+
+    Round 4 built the (K, NWp) slices and per-cursor entry tables on the
+    HOST and uploaded ~12 MB per 8 MB stream (slices 5.4 + lit entries
+    4.7 + tabs 1.7 MB) through the ~45 MB/s tunnel; now only the raw
+    stream words (~wire size) and ~200 KB of per-BLOCK tables go up, and
+    the expansion to per-cursor layout is two device gathers (round-5
+    verdict #1a: shrink the host floor)."""
+    import jax
+    import jax.numpy as jnp
+
+    runk = _decode_kernel(G, NWp, CAPR, interpret)
+    K = G * KG
+
+    def to_groups(x):
+        R = x.shape[1]
+        return x.reshape(G, KG, R).transpose(0, 2, 1).reshape(G * R, KG)
+
+    @jax.jit
+    def run(words, swstart, blk_c, start_rel, stop_rel, avail_rel, active,
+            tab_blk, lit_e, dist_e):
+        slices = words[swstart[:, None] + jnp.arange(NWp)[None, :]]
+        base = tab_blk[blk_c]  # (K, TB)
+        tabs = jnp.concatenate(
+            [
+                base[:, :_T_START],
+                jnp.stack(
+                    [start_rel, stop_rel, avail_rel,
+                     active.astype(jnp.int32)], axis=1,
+                ),
+                base[:, _T_ACT + 1 :],
+            ],
+            axis=1,
+        )
+        tok, bp, fin = runk(
+            to_groups(slices), to_groups(tabs),
+            to_groups(lit_e[blk_c]), to_groups(dist_e[blk_c]),
+        )
+        off = (swstart << 5).astype(jnp.int32)
+        tok_pack = (
+            tok.reshape(G, CAPR, KG).transpose(0, 2, 1).reshape(K * CAPR)
+        )
+        bp2 = bp.reshape(G, CAPR, KG).transpose(0, 2, 1)
+        bp_abs = jnp.where(
+            bp2 < (SENT_BP >> 1), bp2 + off.reshape(G, KG, 1), bp2
+        ).reshape(K * CAPR)
+        fin2 = fin.reshape(G, 8, KG)
+        end_pos = (fin2[:, 0, :].reshape(K) + off).astype(jnp.int32)
+        cnt = fin2[:, 1, :].reshape(K)
+        status = fin2[:, 2, :].reshape(K)
+        end_pos = jnp.where(active, end_pos, 0)
+        return tok_pack, bp_abs, cnt, end_pos, status
+
+    return run
 
 
 def pallas_cursor_tokenize(
@@ -404,26 +455,33 @@ def pallas_cursor_tokenize(
     NWp = -(-(stride_bits // 32 + overlap_bits // 32 + 8) // 8) * 8
     CAPR = cap
 
-    # stream as u32 words (little-endian), padded
+    # stream as u32 words (little-endian), padded to a pow2 bucket so
+    # the prep program compiles once per (G, NWp, CAPR, nblkp, nwpad)
     nw_total = (len(buf) + 3) // 4
-    wbuf = np.zeros((nw_total + NWp) * 4, np.uint8)
+    nwpad = 1 << max(12, (nw_total + NWp - 1).bit_length())
+    wbuf = np.zeros(nwpad * 4, np.uint8)
     wbuf[: len(buf)] = buf
     words_all = wbuf.view("<u4")
 
     active = starts >= 0
     swstart = np.where(active, starts, 0) >> 5
-    start_rel = np.where(active, starts, 0) - (swstart << 5)
-    stop_rel = np.where(active, stops_dec - (swstart << 5), 0)
-    avail_rel = np.minimum(len(buf) * 8 - (swstart << 5), NWp * 32)
+    swstart = np.minimum(swstart, nwpad - NWp).astype(np.int32)
+    start_rel = (np.where(active, starts, 0) - (swstart << 5)).astype(
+        np.int32
+    )
+    stop_rel = np.where(active, stops_dec - (swstart << 5), 0).astype(
+        np.int32
+    )
+    avail_rel = np.minimum(len(buf) * 8 - (swstart << 5), NWp * 32).astype(
+        np.int32
+    )
 
-    # per-cursor slices (K, NWp)
-    slices = words_all[swstart[:, None] + np.arange(NWp)[None, :]]
-
-    # per-block tables -> per-cursor
+    # per-BLOCK tables (tiny; expanded per-cursor ON DEVICE)
     nblk = len(plan)
-    lit_e = np.zeros((nblk, LE), np.uint32)
-    dist_e = np.zeros((nblk, DE), np.uint32)
-    tab_blk = np.zeros((nblk, TB), np.int32)
+    nblkp = 1 << max(3, (nblk - 1).bit_length())
+    lit_e = np.zeros((nblkp, LE), np.uint32)
+    dist_e = np.zeros((nblkp, DE), np.uint32)
+    tab_blk = np.zeros((nblkp, TB), np.int32)
     for b, p in enumerate(plan):
         (le, lcnt, lfst, loff), (de, dcnt, dfst, doff) = tables_for_block(
             p[7]
@@ -436,34 +494,13 @@ def pallas_cursor_tokenize(
         tab_blk[b, _T_DC : _T_DC + 16] = dcnt
         tab_blk[b, _T_DF : _T_DF + 16] = dfst
         tab_blk[b, _T_DO : _T_DO + 16] = doff
-    blk_c = np.clip(block_of, 0, nblk - 1)
-    tabs = tab_blk[blk_c].copy()
-    tabs[:, _T_START] = start_rel
-    tabs[:, _T_STOP] = stop_rel
-    tabs[:, _T_AVAIL] = avail_rel
-    tabs[:, _T_ACT] = active.astype(np.int32)
+    blk_c = np.clip(block_of, 0, nblk - 1).astype(np.int32)
 
     interpret = jax.default_backend() != "tpu"
-    runk = _decode_kernel(G, NWp, CAPR, interpret)
-    tok, bp, fin = runk(
-        jnp.asarray(_to_groups(slices.view(np.uint32), G)),
-        jnp.asarray(_to_groups(tabs, G)),
-        jnp.asarray(_to_groups(lit_e[blk_c], G)),
-        jnp.asarray(_to_groups(dist_e[blk_c], G)),
+    run = _prep_and_decode(G, NWp, CAPR, nblkp, nwpad, interpret)
+    return run(
+        jnp.asarray(words_all), jnp.asarray(swstart), jnp.asarray(blk_c),
+        jnp.asarray(start_rel), jnp.asarray(stop_rel),
+        jnp.asarray(avail_rel), jnp.asarray(active),
+        jnp.asarray(tab_blk), jnp.asarray(lit_e), jnp.asarray(dist_e),
     )
-
-    # back to the (K, CAP) cursor-major contract, absolute bits
-    off = jnp.asarray((swstart << 5).astype(np.int32))
-    tok_pack = tok.reshape(G, CAPR, KG).transpose(0, 2, 1).reshape(K * CAPR)
-    bp2 = bp.reshape(G, CAPR, KG).transpose(0, 2, 1)
-    bp_abs = jnp.where(
-        bp2 < (SENT_BP >> 1), bp2 + off.reshape(G, KG, 1), bp2
-    ).reshape(K * CAPR)
-    fin2 = fin.reshape(G, 8, KG)
-    end_pos = (fin2[:, 0, :].reshape(K) + off).astype(jnp.int32)
-    cnt = fin2[:, 1, :].reshape(K)
-    status = fin2[:, 2, :].reshape(K)
-    # inactive padding rows keep the v2 convention
-    act_j = jnp.asarray(active)
-    end_pos = jnp.where(act_j, end_pos, 0)
-    return tok_pack, bp_abs, cnt, end_pos, status

@@ -31,7 +31,7 @@ def _build() -> str | None:
     tmp = so_path + ".tmp.%d" % os.getpid()
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        "-o", tmp, _SRC,
+        "-pthread", "-o", tmp, _SRC,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)

@@ -14,10 +14,13 @@
 // Build: g++ -O3 -shared -fPIC (see build.py).  Exposed via ctypes; all
 // functions are GIL-free so Python threads parallelize across chunks.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <memory>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -691,7 +694,10 @@ int64_t tz_tokenize_impl(const uint8_t* data, int64_t total, int64_t ctx_len,
         // emit previous match (covers i-1 .. i-1+prev_len-1)
         put(prev_len, prev_dist);
         int64_t end = i - 1 + prev_len;
-        // insert skipped positions into the hash chains
+        // insert skipped positions into the hash chains.  (Round 5
+        // tried inserting every 2nd position inside long matches — ~1%
+        // faster on text but it broke the <=zlib size invariant on the
+        // repetitive large corpus; full insertion is load-bearing.)
         for (int64_t p = i + 1; p < end && p + MIN_MATCH + 1 <= total; p++) insert(p);
         i = end;
         have_prev = false;
@@ -916,14 +922,15 @@ int64_t tz_inflate_tokenize(const uint8_t* src, int64_t src_len,
 // through tz_inflate_tokenize (a real header parses and yields >=8
 // symbols or overflows a 64-token cap).  Returns the number of
 // confirmed header bit positions written to out_pos.
-int64_t tz_find_headers(const uint8_t* src, int64_t src_len,
-                        int64_t from_bit, int32_t allow_final,
-                        int64_t* out_pos, int64_t cap) {
+static int64_t tz_scan_headers_range(const uint8_t* src, int64_t src_len,
+                                     int64_t from_bit, int64_t to_bit,
+                                     int32_t allow_final,
+                                     int64_t* out_pos, int64_t cap) {
   const int64_t nbits = src_len * 8;
   int64_t found = 0;
   // bound keeps both 8-byte memcpy windows in range (a real dynamic
   // header + EOB needs >100 bits, so nothing is missed at the tail)
-  for (int64_t bit = from_bit; bit + 81 <= nbits; bit++) {
+  for (int64_t bit = from_bit; bit < to_bit && bit + 81 <= nbits; bit++) {
     const int64_t byte = bit >> 3;
     const int s = (int)(bit & 7);
     uint64_t w0;
@@ -957,6 +964,45 @@ int64_t tz_find_headers(const uint8_t* src, int64_t src_len,
     // which a count-only rule would silently never discover (ADVICE r4)
     if (st == 3 || (st == 0 && (n >= 8 || fin))) {
       out_pos[found++] = bit;
+      if (found >= cap) return found;
+    }
+  }
+  return found;
+}
+
+int64_t tz_find_headers(const uint8_t* src, int64_t src_len,
+                        int64_t from_bit, int32_t allow_final,
+                        int64_t* out_pos, int64_t cap) {
+  const int64_t nbits = src_len * 8;
+  // the scan is embarrassingly parallel per bit position (confirmation
+  // decodes read the GLOBAL stream, so range splits have no boundary
+  // effects): split across hardware threads for streams long enough to
+  // amortize thread startup (~2x on the 2-core build host)
+  int nt = (int)std::thread::hardware_concurrency();
+  if (nt > 4) nt = 4;
+  if (nt < 2 || nbits - from_bit < (1 << 21)) {
+    return tz_scan_headers_range(src, src_len, from_bit, nbits, allow_final,
+                                 out_pos, cap);
+  }
+  std::vector<std::vector<int64_t>> parts(nt);
+  std::vector<std::thread> threads;
+  const int64_t span = (nbits - from_bit + nt - 1) / nt;
+  for (int t = 0; t < nt; t++) {
+    const int64_t lo = from_bit + t * span;
+    const int64_t hi = std::min(lo + span, nbits);
+    threads.emplace_back([&, t, lo, hi]() {
+      std::vector<int64_t>& mine = parts[t];
+      mine.resize((size_t)cap);
+      int64_t n = tz_scan_headers_range(src, src_len, lo, hi, allow_final,
+                                        mine.data(), cap);
+      mine.resize((size_t)n);
+    });
+  }
+  for (auto& th : threads) th.join();
+  int64_t found = 0;
+  for (int t = 0; t < nt; t++) {
+    for (int64_t p : parts[t]) {
+      out_pos[found++] = p;
       if (found >= cap) return found;
     }
   }
