@@ -253,6 +253,22 @@ def _run_tpu_section(extras, txt):
             round(len(data) / per / 1e9, 2) if per else None
         )
 
+        # host comparison on the same buffer: the device checksums are
+        # the library's first clear device-beats-host paths (r5)
+        from tpuzlib.kernels.adler32 import adler32_host
+        from tpuzlib.kernels.crc32 import crc32_host
+
+        t0 = time.time()
+        crc32_host(data)
+        extras["host_crc32_GBps"] = round(
+            len(data) / (time.time() - t0) / 1e9, 2
+        )
+        t0 = time.time()
+        adler32_host(data)
+        extras["host_adler32_GBps"] = round(
+            len(data) / (time.time() - t0) / 1e9, 2
+        )
+
     _metric(extras, "checksums", b_cks, checksums)
 
     def deflate_kernel():

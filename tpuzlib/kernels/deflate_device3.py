@@ -549,6 +549,11 @@ def make_encode_batch_v3(level: int, chunk: int, batch: int, out_words: int,
         dist_freq = _hist_sorted(jax, jnp, B, dkey + cb, 30, 30)
 
         # ---- trees (batched package-merge) -----------------------------
+        # one COMBINED (2B, 286) vmap on purpose: round 5 tried running
+        # lit/dist trees at native widths (two vmaps, dist at 30) — 45%
+        # less arithmetic but 2x the sequential small-op count, and the
+        # measured stage got SLOWER (39.6 -> 41.1 ms full encode).  The
+        # tree stage is dispatch-bound, not FLOP-bound.
         both = jnp.concatenate(
             [lit_freq, jnp.pad(dist_freq, ((0, 0), (0, 256)))], axis=0
         )  # (2B, 286)

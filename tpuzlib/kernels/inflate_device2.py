@@ -830,7 +830,11 @@ def _repair_splice(buf, avail_bits, Kpad, CAP, K, plan, block_a, stops_a,
         idxs = np.flatnonzero((blk_np == b) & active_a[:K])
         if len(idxs) == 0:
             return None
-        luts = _block_luts(p)
+        # LUTs only materialize if a bridge actually decodes in this
+        # block: on Pallas-path plans _block_luts BUILDS the 2x32K flat
+        # tables (~1.7 ms/block — eagerly doing all blocks cost ~0.2 s
+        # per healthy 115-block stream, measured round 5)
+        luts = None
         current = int(idxs[0])
         if not (cnt_np[current] == 0 or bp0[current] == bstart_a[current]):
             return None  # unanchored block start: real decode problem
@@ -871,6 +875,8 @@ def _repair_splice(buf, avail_bits, Kpad, CAP, K, plan, block_a, stops_a,
             if _rt["nbridge"] >= max_bridges:
                 raise _CapExceeded("bridges")
             _rt["nbridge"] += 1
+            if luts is None:
+                luts = _block_luts(p)
             _t0b = _time.time()
             targets = [int(k2) for k2 in idxs if k2 > current]
             guard_end = int(stops_a[int(idxs[-1])]) + 4096
