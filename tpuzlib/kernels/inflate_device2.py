@@ -703,6 +703,56 @@ def make_inflate_fused(K: int, CAP: int, out_cap: int):
     return run
 
 
+def _native_midblock(p):
+    """Native bridge decoder for a plan entry, or None (no native lib /
+    stored block).  Returns fn(buf, bit, cap) -> (litlen, dist, hit_eob,
+    end_bit) or None on decode error."""
+    lens_info = p[7]
+    if lens_info[0] not in ("dyn", "fixed"):
+        return None
+    try:
+        from ..native.bindings import get_lib, native_available
+
+        if not native_available():
+            return None
+        lib = get_lib()
+    except Exception:  # pragma: no cover
+        return None
+    import ctypes
+
+    from ..codec.tables import FIXED_DIST_LENGTHS, FIXED_LITLEN_LENGTHS
+    from ..native.api import _p32, _p8
+
+    if lens_info[0] == "fixed":
+        ll_arr = np.ascontiguousarray(FIXED_LITLEN_LENGTHS, dtype=np.int32)
+        dd_arr = np.ascontiguousarray(FIXED_DIST_LENGTHS, dtype=np.int32)
+    else:
+        ll_arr = np.ascontiguousarray(lens_info[1], dtype=np.int32)
+        dd_arr = np.ascontiguousarray(lens_info[2], dtype=np.int32)
+
+    def run(buf, bit, cap):
+        lit_buf = np.empty(cap, np.int32)
+        dist_buf = np.empty(cap, np.int32)
+        eb = ctypes.c_int64(0)
+        he = ctypes.c_int32(0)
+        st = ctypes.c_int32(0)
+        ntok = lib.tz_tokenize_midblock(
+            _p8(buf), np.int64(len(buf)), np.int64(bit),
+            _p32(ll_arr), np.int32(len(ll_arr)),
+            _p32(dd_arr), np.int32(len(dd_arr)),
+            _p32(lit_buf), _p32(dist_buf), np.int64(cap),
+            ctypes.byref(eb), ctypes.byref(he), ctypes.byref(st),
+        )
+        if st.value != 0:
+            return None
+        return (
+            lit_buf[:ntok].copy(), dist_buf[:ntok].copy(),
+            he.value != 0, int(eb.value),
+        )
+
+    return run
+
+
 def _block_luts(p):
     """Flat decode LUTs for a plan entry, built on demand: plans made
     for the Pallas tokenizer skip LUT construction (build_luts=False),
@@ -875,30 +925,42 @@ def _repair_splice(buf, avail_bits, Kpad, CAP, K, plan, block_a, stops_a,
             if _rt["nbridge"] >= max_bridges:
                 raise _CapExceeded("bridges")
             _rt["nbridge"] += 1
-            if luts is None:
-                luts = _block_luts(p)
             _t0b = _time.time()
             targets = [int(k2) for k2 in idxs if k2 > current]
             guard_end = int(stops_a[int(idxs[-1])]) + 4096
-            # bridge-local bit windows: building them for the WHOLE
-            # stream cost ~90 ms/call (profiled); a bridge spans a few
-            # KB at most
-            wbyte0 = pos >> 3
-            wspan = min(len(buf) - wbyte0, (guard_end - pos) // 8 + 64)
-            w64loc = tk.byte_windows64(buf[wbyte0 : wbyte0 + wspan])
-            wbase = wbyte0 * 8
-            avail_loc = min(avail_bits - wbase, wspan * 8)
+            # bridge decode: the native serial mid-block tokenizer
+            # (O(symbols) from a known chain position with the block's
+            # parsed lengths) — round 5; the vectorized numpy decoder
+            # (O(segment_bits): a candidate at EVERY bit position) only
+            # remains as the no-native / stored-block fallback
+            nat = _native_midblock(p)
+            if nat is None and luts is None:
+                luts = _block_luts(p)
+            if nat is None:
+                # bridge-local bit windows for the numpy fallback
+                wbyte0 = pos >> 3
+                wspan = min(len(buf) - wbyte0, (guard_end - pos) // 8 + 64)
+                w64loc = tk.byte_windows64(buf[wbyte0 : wbyte0 + wspan])
+                wbase = wbyte0 * 8
+                avail_loc = min(avail_bits - wbase, wspan * 8)
             lit_parts, dist_parts = [], []
             sync = None
             while True:
-                try:
-                    litl, dst, kind, npos_rel = tk.decode_segment(
-                        w64loc, pos - wbase, avail_loc, luts[0], luts[1],
-                        4096,
-                    )
-                    newpos = npos_rel + wbase
-                except tk.DataError:
-                    return None
+                if nat is not None:
+                    res = nat(buf, pos, 4096)
+                    if res is None:
+                        return None
+                    litl, dst, hit_eob, newpos = res
+                    kind = tk.EXIT_EOB if hit_eob else -1
+                else:
+                    try:
+                        litl, dst, kind, npos_rel = tk.decode_segment(
+                            w64loc, pos - wbase, avail_loc, luts[0],
+                            luts[1], 4096,
+                        )
+                        newpos = npos_rel + wbase
+                    except tk.DataError:
+                        return None
                 lit_parts.append(litl)
                 dist_parts.append(dst)
                 if kind == tk.EXIT_EOB:
@@ -1061,6 +1123,14 @@ def inflate_device_v2(
         or mesh is not None
         or _os.environ.get("TPUZLIB_FUSED", "0") == "1"
     )
+    words_dev = None
+    if use_pallas_tok:
+        # kick the ~4 MB stream upload off NOW so it overlaps the
+        # ~0.17 s host header scan below (async dispatch) instead of
+        # serializing after it
+        from .inflate_pallas import preload_words
+
+        words_dev = preload_words(buf, stride_bits, 2 * 1024)
     cp = _cursor_plan(buf, stride_bits, max_cursors, build_luts=need_luts)
     if cp is None:
         return None
@@ -1178,7 +1248,7 @@ def inflate_device_v2(
             _tick("plan")
             tok_pack, tok_bp, cnt, end_pos, status = pallas_cursor_tokenize(
                 buf, starts_a, stops_dec, block_a, plan,
-                stride_bits, 2 * OVERLAP, CAP,
+                stride_bits, 2 * OVERLAP, CAP, words_dev=words_dev,
             )
             _tick("tokenize_dispatch")
         elif mesh is None:

@@ -97,6 +97,15 @@ def get_lib():
             c_p8, c_i64, c_i64, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int64), c_i64,
         ]
+        lib.tz_tokenize_midblock.restype = c_i64
+        lib.tz_tokenize_midblock.argtypes = [
+            c_p8, c_i64, c_i64,
+            c_p32, ctypes.c_int32, c_p32, ctypes.c_int32,
+            c_p32, c_p32, c_i64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.tz_adler32.restype = ctypes.c_uint32
         lib.tz_adler32.argtypes = [c_p8, c_i64, ctypes.c_uint32]
         lib.tz_crc32.restype = ctypes.c_uint32

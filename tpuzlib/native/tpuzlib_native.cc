@@ -914,6 +914,86 @@ int64_t tz_inflate_tokenize(const uint8_t* src, int64_t src_len,
   }
 }
 
+// Mid-block tokenize with caller-supplied code lengths (round-5 splice
+// -repair bridge decoder).  The repair used the vectorized numpy
+// decoder, which does O(segment_bits) work per chunk (it decodes a
+// candidate at EVERY bit position); a bridge only needs the serial
+// O(symbols) walk from a known chain position with the block's already
+// -parsed tables.  Returns ntok; *hit_eob=1 when the block's EOB was
+// consumed (end_bit then points past it); *status: 0 ok (cap reached
+// or EOB), 2 data error/truncation.
+int64_t tz_tokenize_midblock(const uint8_t* src, int64_t src_len,
+                             int64_t start_bit,
+                             const int32_t* litlens, int32_t nlit,
+                             const int32_t* distlens, int32_t ndist,
+                             int32_t* out_litlen, int32_t* out_dist,
+                             int64_t cap, int64_t* end_bit,
+                             int32_t* hit_eob, int32_t* status) {
+  *hit_eob = 0;
+  *status = 0;
+  static thread_local uint32_t lit_lut[LUT_SIZE];
+  static thread_local uint32_t dist_lut[LUT_SIZE];
+  static thread_local int32_t cached_lit[288], cached_dist[32];
+  static thread_local int32_t cached_nlit = -1, cached_ndist = -1;
+  static thread_local int lit_bits = 0, dist_bits = 0;
+  bool same = cached_nlit == nlit && cached_ndist == ndist;
+  if (same) {
+    for (int s = 0; s < nlit && same; s++) same = cached_lit[s] == litlens[s];
+    for (int s = 0; s < ndist && same; s++)
+      same = cached_dist[s] == distlens[s];
+  }
+  if (!same) {
+    if (build_lut(litlens, nlit, 0, lit_lut, &lit_bits) != 0 ||
+        build_lut(distlens, ndist, 1, dist_lut, &dist_bits) != 0) {
+      *status = 2;
+      *end_bit = start_bit;
+      return 0;
+    }
+    cached_nlit = nlit;
+    cached_ndist = ndist;
+    for (int s = 0; s < nlit; s++) cached_lit[s] = litlens[s];
+    for (int s = 0; s < ndist; s++) cached_dist[s] = distlens[s];
+  }
+  BitIn in(src, src_len * 8, start_bit);
+  const uint32_t lit_mask = (1u << lit_bits) - 1;
+  const uint32_t dist_mask = (1u << dist_bits) - 1;
+  int64_t ntok = 0;
+  while (ntok < cap) {
+    uint64_t w = in.peek64();
+    uint32_t ent = lit_lut[w & lit_mask];
+    if (ent & F_INVALID) { *status = 2; *end_bit = in.pos; return ntok; }
+    int nb = (ent >> 15) & 0xF;
+    int eb = (ent >> 19) & 0xF;
+    if (in.pos + nb + eb > in.nbits) { *status = 2; *end_bit = in.pos; return ntok; }
+    if (ent & F_EOB) { in.pos += nb; *hit_eob = 1; break; }
+    if (!(ent & F_LEN)) {
+      out_litlen[ntok] = (int32_t)(ent & 0xFF);
+      out_dist[ntok] = 0;
+      ntok++;
+      in.pos += nb;
+      continue;
+    }
+    int32_t length = (int32_t)(ent & 0x7FFF) +
+                     (int32_t)((w >> nb) & ((1u << eb) - 1));
+    int adv = nb + eb;
+    uint32_t dent = dist_lut[(w >> adv) & dist_mask];
+    if (dent & F_INVALID) { *status = 2; *end_bit = in.pos; return ntok; }
+    int dnb = (dent >> 15) & 0xF;
+    int deb = (dent >> 19) & 0xF;
+    if (in.pos + adv + dnb + deb > in.nbits) {
+      *status = 2; *end_bit = in.pos; return ntok;
+    }
+    int32_t dist = (int32_t)(dent & 0x7FFF) +
+                   (int32_t)((w >> (adv + dnb)) & ((1u << deb) - 1));
+    in.pos += adv + dnb + deb;
+    out_litlen[ntok] = length;
+    out_dist[ntok] = dist;
+    ntok++;
+  }
+  *end_bit = in.pos;
+  return ntok;
+}
+
 // Full-stream dynamic-block header scan (speculative parallel-inflate
 // pass 1; python counterpart: parallel/speculative.find_all_block_starts).
 // For every bit position: cheap field checks (BTYPE==10, HLIT/HDIST in
