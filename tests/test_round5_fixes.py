@@ -188,6 +188,55 @@ def test_repair_bridge_cap_bounds_worst_case(monkeypatch):
     assert trace.get_counters().get("inflate.repair_cap_exceeded", 0) == 1
 
 
+def test_bridge_overshoot_sync_guard(monkeypatch):
+    """Round-5 regression: a bridge chunk that decodes past the sync
+    target's own boundary cut must NOT sync there (the next cursor's
+    entry would sit before the bridge end -> duplicated tokens; caught
+    as a checksum mismatch on v3-deflate streams through the public
+    API).  Forcing huge bridge chunks makes every bridge overshoot; the
+    sync guard (ii < jstop[k2]) must keep the output exact."""
+    monkeypatch.setenv("TPUZLIB_BRIDGE_CHUNK", "100000")
+    from tpuzlib.kernels.inflate_device2 import inflate_device_v2
+
+    txt = open("/root/reference/test/paradiselost.txt", "rb").read()
+    src = (txt * 2)[: 1 << 20]
+    wire = bytes(tpuzlib.deflate(src, level=6))  # stream with >=1 bridge
+    out = inflate_device_v2(
+        np.frombuffer(wire[2:-4], np.uint8), size_hint=len(src) + 1024
+    )
+    assert out is None or bytes(out) == src  # never corrupt
+
+
+def test_device_mismatch_falls_back_to_host(monkeypatch):
+    """Round-5 dispatch fix: a device-path checksum mismatch re-decodes
+    on the HOST for the authoritative verdict instead of raising — a
+    device speculation fault must never surface as a false 'Data
+    integrity check failed' on a valid stream."""
+    monkeypatch.setenv("TPUZLIB_DEVICE", "0")
+    txt = open("/root/reference/test/paradiselost.txt", "rb").read()
+    src = (txt * 3)[: 1 << 20]
+    wire = bytes(tpuzlib.deflate(src, level=6))
+    monkeypatch.setenv("TPUZLIB_DEVICE", "1")
+    import tpuzlib.api.inflate_api as api
+    import tpuzlib.kernels.inflate_device2 as idv
+    from tpuzlib.utils import trace
+
+    def corrupt_device(*a, **k):
+        out = np.frombuffer(src, np.uint8).copy()
+        out[100] ^= 0xFF  # wrong bytes from the "device"
+        return out
+
+    monkeypatch.setattr(api, "inflate_device_v2", corrupt_device,
+                        raising=False)
+    monkeypatch.setattr(idv, "inflate_device_v2", corrupt_device)
+    trace.reset_counters()
+    out = tpuzlib.inflate(wire)  # host fallback must settle it
+    assert bytes(out) == src
+    assert trace.get_counters().get(
+        "inflate.device_mismatch_fallback", 0
+    ) == 1
+
+
 def test_option_types_exported_at_root():
     assert "InflaterOptions" in tpuzlib.__all__
     assert "DeflaterOptions" in tpuzlib.__all__

@@ -947,7 +947,14 @@ def _repair_splice(buf, avail_bits, Kpad, CAP, K, plan, block_a, stops_a,
             sync = None
             while True:
                 if nat is not None:
-                    res = nat(buf, pos, 4096)
+                    # ~one cursor stride of tokens per chunk: sync is
+                    # checked at chunk ends, so smaller chunks sync at
+                    # the first eligible cursor instead of overshooting
+                    # (env knob: regression tests force big chunks)
+                    res = nat(
+                        buf, pos,
+                        int(_os.environ.get("TPUZLIB_BRIDGE_CHUNK", "1024")),
+                    )
                     if res is None:
                         return None
                     litl, dst, hit_eob, newpos = res
@@ -975,7 +982,18 @@ def _repair_splice(buf, avail_bits, Kpad, CAP, K, plan, block_a, stops_a,
                         continue
                     row = get_row(k2)[: cnt_np[k2]]
                     ii = int(np.searchsorted(row, pos))
-                    if ii < cnt_np[k2] and row[ii] == pos:
+                    # the sync index must land BEFORE k2's own boundary
+                    # cut (jstop): a long bridge chunk can overshoot
+                    # into k2's overlap tail, where accepting the sync
+                    # would make the NEXT cursor's entry point sit
+                    # before the bridge end — duplicated tokens (round
+                    # -5 regression caught by the api integrity check:
+                    # 15 doubled tokens at a 4096-token bridge seam)
+                    if (
+                        ii < cnt_np[k2]
+                        and row[ii] == pos
+                        and ii < int(jstop[k2])
+                    ):
                         hit = (k2, ii)
                         break
                 if hit is not None:
