@@ -237,6 +237,29 @@ def test_device_mismatch_falls_back_to_host(monkeypatch):
     ) == 1
 
 
+def test_v3_stream_decodes_on_device_inflate():
+    """Cross-path coverage: streams produced by the v3 DEVICE deflate
+    must decode through the DEVICE inflate (the public-API TPU path
+    whose integrity check caught the round-5 bridge-overshoot bug)."""
+    from tpuzlib.kernels.deflate_device3 import deflate_device_v3
+    from tpuzlib.kernels.inflate_device2 import inflate_device_v2
+
+    txt = open("/root/reference/test/paradiselost.txt", "rb").read()
+    src = txt[: 200000]
+    body = bytes(
+        deflate_device_v3(
+            np.frombuffer(src, np.uint8), level=6, chunk=1 << 16, batch=2
+        )
+    )
+    assert zlib.decompress(body, -15) == src
+    out = inflate_device_v2(
+        np.frombuffer(body, np.uint8), size_hint=len(src) + 1024,
+        stride_bits=1 << 13, max_cursors=256,
+    )
+    assert out is None or bytes(out) == src
+    assert out is not None, "device inflate declined a healthy v3 stream"
+
+
 def test_option_types_exported_at_root():
     assert "InflaterOptions" in tpuzlib.__all__
     assert "DeflaterOptions" in tpuzlib.__all__
