@@ -355,6 +355,19 @@ def _run_tpu_section(extras, txt):
             counts.get("inflate.device_fallback", 0)
         )
 
+        # per-stage wall breakdown (tunnel terms vs codec terms) for the
+        # artifact — one extra timed run with stage telemetry on
+        import os as _os
+
+        from tpuzlib.kernels import inflate_device2 as _idv
+
+        _os.environ["TPUZLIB_TIME_INFLATE"] = "1"
+        try:
+            inflate_device_v2(payload, size_hint=len(src) + 1024)
+            extras["tpu_inflate_stage_ms"] = dict(_idv.last_stage_ms)
+        finally:
+            del _os.environ["TPUZLIB_TIME_INFLATE"]
+
     _metric(extras, "inflate", b_inf, inflate_device)
 
     def api_device():

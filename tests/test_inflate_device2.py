@@ -77,10 +77,12 @@ def test_pallas_tokenizer_host_expand(paradiselost, monkeypatch):
     assert out is not None and bytes(out) == src
 
 
-def test_splice_repair_spurious_eob(paradiselost, monkeypatch):
-    """Round-4 regression: this exact stream decodes a spurious EOB in
-    one cursor's speculation garbage (observed), which used to abort the
-    whole device decode; the host boundary repair must bridge it."""
+def test_spurious_eob_no_longer_needs_repair(paradiselost, monkeypatch):
+    """Round-4: this exact stream decodes a spurious EOB in one cursor's
+    speculation garbage (observed), which used to need the host repair
+    bridge.  Round 5's EOB-continuation kernels record the garbage EOB
+    as a flagged tape token and keep decoding, so the cursor self-syncs
+    and the FAST splice path handles the stream — no repair at all."""
     monkeypatch.setenv("TPUZLIB_DEBUG_INFLATE", "")
     src = (paradiselost * 2)[: 1 << 20]
     wire = bytes(tpuzlib.deflate(src, level=6))
@@ -89,7 +91,7 @@ def test_splice_repair_spurious_eob(paradiselost, monkeypatch):
     before = trace.get_counters().get("inflate.splice_repair", 0)
     out = inflate_device_v2(_raw(wire[2:-4]), size_hint=len(src) + 1024)
     assert out is not None and bytes(out) == src
-    assert trace.get_counters().get("inflate.splice_repair", 0) > before
+    assert trace.get_counters().get("inflate.splice_repair", 0) == before
 
 
 def test_splice_repair_forced_matches_fast_path(paradiselost, monkeypatch):
@@ -162,6 +164,42 @@ def test_pallas_repair_fuzz(paradiselost, monkeypatch):
             stride_bits=1 << 13, max_cursors=256,
         )
         assert out is None or bytes(out) == src, (trial, kind, lvl, n)
+
+
+def test_v3_stream_fuzz(paradiselost, monkeypatch):
+    """Streams from the v3 DEVICE encoder (different block geometry than
+    zlib: few big blocks) through the device inflate, across chunk
+    sizes, tokenizer paths and bridge-chunk sizes — the round-5
+    bridge-overshoot bug lived exactly in this cross-path corner."""
+    import zlib as _z
+
+    from tpuzlib.kernels.deflate_device3 import deflate_device_v3
+
+    rng = np.random.default_rng(17)
+    for trial in range(4):
+        n = int(rng.integers(120000, 260000))
+        off = int(rng.integers(0, len(paradiselost) - n))
+        src = paradiselost[off : off + n]
+        body = bytes(
+            deflate_device_v3(
+                np.frombuffer(src, np.uint8), level=6,
+                chunk=1 << 16, batch=2,
+            )
+        )
+        assert _z.decompress(body, -15) == src
+        if trial % 2:
+            monkeypatch.setenv("TPUZLIB_PALLAS_TOK", "1")
+        else:
+            monkeypatch.delenv("TPUZLIB_PALLAS_TOK", raising=False)
+        monkeypatch.setenv(
+            "TPUZLIB_BRIDGE_CHUNK", str(int(rng.choice([256, 1024, 65536])))
+        )
+        out = inflate_device_v2(
+            np.frombuffer(body, np.uint8), size_hint=n + 1024,
+            stride_bits=1 << 13, max_cursors=256,
+        )
+        assert out is None or bytes(out) == src, trial
+        assert out is not None, ("declined healthy v3 stream", trial)
 
 
 def test_roundtrip_zlib_stream(paradiselost):

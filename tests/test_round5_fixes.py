@@ -163,16 +163,26 @@ def test_ext_cap_overflow_counter(monkeypatch):
 
 
 def test_repair_bridge_cap_bounds_worst_case(monkeypatch):
-    """Verdict r5 #8: the splice repair is budget-capped.  This stream is
-    known to need >=1 repair bridge (spurious EOB in speculation
-    garbage); with the bridge cap at 0 the repair must decline ONCE
-    (graceful full fallback + counter), never storm the tunnel."""
+    """Verdict r5 #8: the splice repair is budget-capped.  A stream with
+    stored runs hidden behind Huffman blocks needs >=1 repair bridge
+    (early in-block EOB; spurious-garbage EOBs no longer bridge after
+    the round-5 EOB-continuation); with the bridge cap at 0 the repair
+    must decline ONCE (graceful full fallback + counter), never storm
+    the tunnel."""
+    import zlib as _z
+
     from tpuzlib.kernels.inflate_device2 import inflate_device_v2
     from tpuzlib.utils import trace
 
     txt = open("/root/reference/test/paradiselost.txt", "rb").read()
-    src = (txt * 2)[: 1 << 20]
-    wire = bytes(tpuzlib.deflate(src, level=6))
+    rng = np.random.default_rng(5)
+    src = (
+        txt[:150000]
+        + rng.integers(0, 256, 120000, dtype=np.uint8).tobytes()
+        + b"\x00" * 50000
+        + txt[:100000]
+    )
+    wire = _z.compress(src, 6)
     payload = np.frombuffer(wire[2:-4], np.uint8)
 
     trace.reset_counters()

@@ -63,6 +63,7 @@ SENT_BP = 1 << 30  # tail sentinel for unused tape slots
 _T_LC, _T_LF, _T_LO = 0, 16, 32      # lit count/first/offset [L=0..15]
 _T_DC, _T_DF, _T_DO = 48, 64, 80     # dist count/first/offset
 _T_START, _T_STOP, _T_AVAIL, _T_ACT = 96, 97, 98, 99
+_T_EXP = 100  # expect_eob: stop at EOB (block-last); else continue past it
 
 
 # ---------------------------------------------------------------------------
@@ -187,6 +188,7 @@ def _decode_kernel(G: int, NWp: int, CAPR: int, interpret: bool):
         stop = tabs[_T_STOP : _T_STOP + 1]
         avail = tabs[_T_AVAIL : _T_AVAIL + 1]
         act0 = tabs[_T_ACT : _T_ACT + 1]
+        exp = tabs[_T_EXP : _T_EXP + 1]
 
         Lrow = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
         sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
@@ -251,11 +253,11 @@ def _decode_kernel(G: int, NWp: int, CAPR: int, interpret: bool):
             return rank, Lc, ok
 
         def cond(state):
-            pos, cnt, status, it = state
+            pos, cnt, status, eob_first, it = state
             return jnp.logical_and(jnp.any(status == ST_RUN), it < CAPR)
 
         def body(state):
-            pos, cnt, status, it = state
+            pos, cnt, status, eob_first, it = state
             run = status == ST_RUN
             j = pos >> 5
             sh = (pos & 31).astype(jnp.uint32)
@@ -311,43 +313,56 @@ def _decode_kernel(G: int, NWp: int, CAPR: int, interpret: bool):
             nxt = pos + jump
             oob = nxt > avail
 
-            is_data = run & ~bad & ~is_eob & ~oob
+            # spurious-EOB continuation (round 5): a non-block-last
+            # cursor decoding an EOB is in its speculation garbage (or a
+            # hidden-stored-run block, which the repair bridges) — it
+            # records a FLAGGED tape token (bit 26) and keeps decoding,
+            # so it can still self-sync and the boundary never breaks.
+            # Only expect_eob (block-last) cursors stop at EOB.
+            real_eob = is_eob & (exp != 0)
+            is_data = run & ~bad & ~real_eob & ~oob
             pack = (
                 val.astype(jnp.uint32)
                 | (jnp.where(is_len, dval, 0).astype(jnp.uint32) << 9)
                 | (is_len.astype(jnp.uint32) << 25)
             )
+            pack = jnp.where(is_eob, jnp.uint32(1 << 26), pack)
             tok_ref[pl.ds(it, 1), :] = jnp.where(is_data, pack, 0)
             bp_ref[pl.ds(it, 1), :] = jnp.where(is_data, pos, SENT_BP)
 
+            eob_first = jnp.where(
+                is_data & is_eob & (eob_first < 0), cnt, eob_first
+            )
             cnt = cnt + is_data.astype(jnp.int32)
             pos = jnp.where(is_data, nxt, pos)
             status = jnp.where(
                 run & bad, ST_ERR,
                 jnp.where(
                     run & ~bad & oob, ST_OOB,
-                    jnp.where(run & is_eob & ~bad & ~oob, ST_EOB, status),
+                    jnp.where(run & real_eob & ~bad & ~oob, ST_EOB, status),
                 ),
             )
-            pos = jnp.where(run & is_eob & ~bad & ~oob, pos + jump, pos)
+            pos = jnp.where(run & real_eob & ~bad & ~oob, pos + jump, pos)
             status = jnp.where(
                 (status == ST_RUN) & (pos >= stop), ST_STRIDE_END, status
             )
-            return pos, cnt, status, it + 1
+            return pos, cnt, status, eob_first, it + 1
 
         status0 = jnp.where(act0 != 0, ST_RUN, ST_STRIDE_END)
         status0 = jnp.where(
             (act0 != 0) & (pos0 >= stop), ST_STRIDE_END, status0
         )
-        pos, cnt, status, it = jax.lax.while_loop(
+        pos, cnt, status, eob_first, it = jax.lax.while_loop(
             cond,
             body,
-            (pos0, jnp.zeros((1, 128), jnp.int32), status0, jnp.int32(0)),
+            (pos0, jnp.zeros((1, 128), jnp.int32), status0,
+             jnp.full((1, 128), -1, jnp.int32), jnp.int32(0)),
         )
         # cursors still running at CAPR overflowed the tape
         status = jnp.where(status == ST_RUN, ST_ERR, status)
         fin_ref[:] = jnp.concatenate(
-            [pos, cnt, status, jnp.zeros((5, 128), jnp.int32)], axis=0
+            [pos, cnt, status, eob_first, jnp.zeros((4, 128), jnp.int32)],
+            axis=0,
         )
 
     def run(words, tabs, lents, dents):
@@ -397,7 +412,7 @@ def _prep_and_decode(G: int, NWp: int, CAPR: int, nblkp: int, nwpad: int,
 
     @jax.jit
     def run(words, swstart, blk_c, start_rel, stop_rel, avail_rel, active,
-            tab_blk, lit_e, dist_e):
+            expect, tab_blk, lit_e, dist_e):
         slices = words[swstart[:, None] + jnp.arange(NWp)[None, :]]
         base = tab_blk[blk_c]  # (K, TB)
         tabs = jnp.concatenate(
@@ -405,9 +420,10 @@ def _prep_and_decode(G: int, NWp: int, CAPR: int, nblkp: int, nwpad: int,
                 base[:, :_T_START],
                 jnp.stack(
                     [start_rel, stop_rel, avail_rel,
-                     active.astype(jnp.int32)], axis=1,
+                     active.astype(jnp.int32),
+                     expect.astype(jnp.int32)], axis=1,
                 ),
-                base[:, _T_ACT + 1 :],
+                base[:, _T_EXP + 1 :],
             ],
             axis=1,
         )
@@ -427,8 +443,9 @@ def _prep_and_decode(G: int, NWp: int, CAPR: int, nblkp: int, nwpad: int,
         end_pos = (fin2[:, 0, :].reshape(K) + off).astype(jnp.int32)
         cnt = fin2[:, 1, :].reshape(K)
         status = fin2[:, 2, :].reshape(K)
+        eob_idx = fin2[:, 3, :].reshape(K)
         end_pos = jnp.where(active, end_pos, 0)
-        return tok_pack, bp_abs, cnt, end_pos, status
+        return tok_pack, bp_abs, cnt, end_pos, status, eob_idx
 
     return run
 
@@ -463,10 +480,13 @@ def pallas_cursor_tokenize(
     overlap_bits: int,
     cap: int,
     words_dev=None,
+    expect_eob=None,
 ):
     """Run the Pallas cursor decode; returns the cursor_tokenize_body
     contract (tok_pack u32[K*CAP], tok_bp i32[K*CAP], cnt, end_pos,
-    status) with ABSOLUTE bit positions (CAP = `cap`, multiple of 8)."""
+    status, eob_idx) with ABSOLUTE bit positions (CAP = `cap`, multiple
+    of 8).  expect_eob: bool[K] — cursors that stop at EOB (block-last);
+    others record flagged tokens and continue (EOB-continuation)."""
     import jax
     import jax.numpy as jnp
 
@@ -515,11 +535,17 @@ def pallas_cursor_tokenize(
         tab_blk[b, _T_DO : _T_DO + 16] = doff
     blk_c = np.clip(block_of, 0, nblk - 1).astype(np.int32)
 
+    if expect_eob is None:
+        expect_np = np.ones(K, bool)
+    else:
+        expect_np = np.asarray(expect_eob, bool)[:K]
+
     interpret = jax.default_backend() != "tpu"
     run = _prep_and_decode(G, NWp, CAPR, nblkp, nwpad, interpret)
     return run(
         words_dev, jnp.asarray(swstart), jnp.asarray(blk_c),
         jnp.asarray(start_rel), jnp.asarray(stop_rel),
         jnp.asarray(avail_rel), jnp.asarray(active),
-        jnp.asarray(tab_blk), jnp.asarray(lit_e), jnp.asarray(dist_e),
+        jnp.asarray(expect_np), jnp.asarray(tab_blk),
+        jnp.asarray(lit_e), jnp.asarray(dist_e),
     )
